@@ -1,0 +1,407 @@
+"""APGD for semantic segmentation as a single fused XLA program.
+
+Behavioral parity target: ``semseg/attacker.py:260-571`` (``apgd_train``),
+``:574-659`` (``apgd_restarts``), ``:662-728`` (``apgd_largereps``). Every
+step runs one fused forward + input-gradient + momentum sign-step +
+projection; all the reference's data-dependent per-image bookkeeping
+(best-point tracking, step-size halving on oscillation, plateau resets,
+early stop) is recast as masked vectorized updates carried through a
+``lax.while_loop`` — the host never sees an intermediate tensor.
+
+Semantics notes (deliberate, verified against the reference):
+  * the reference re-evaluates a tracking loss ("ce-avg" for SEA) per step
+    and uses it — not the attack loss — for best-point/step-size logic
+    (``attacker.py:357-361, 472-475``);
+  * ignored pixels count as *correct* in the per-image accuracy used to pick
+    ``x_best_adv`` (``attacker.py:489``) but not in the very first accuracy
+    (``attacker.py:370-371``);
+  * ``check_oscillation`` reads a window of the loss history with torch's
+    negative-index wraparound at the first check (``attacker.py:243-248``) —
+    reproduced via modular indexing;
+  * early stop exits when no image has a correct pixel left
+    (``attacker.py:568-569``); with best-point tracking this never changes
+    the returned tensors, only the step count, so the while_loop exit is
+    exact parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from robseg_tpu.ops.losses import (ATTACK_CRITERIA, pixel_to_img_loss)
+from robseg_tpu.ops.projections import (project_l1_ball_box, project_linf,
+                                        project_l2, _l2_norm)
+
+Array = jnp.ndarray
+
+
+class APGDResult(NamedTuple):
+    x_best: Array        # best-tracking-loss points
+    acc: Array           # per-image pixel accuracy of best adv found
+    loss_best: Array     # per-image best tracking loss
+    x_best_adv: Array    # lowest-pixel-accuracy points (the SEA output)
+
+
+class _State(NamedTuple):
+    i: Array
+    x_adv: Array
+    x_adv_old: Array
+    grad: Array
+    x_best: Array
+    grad_best: Array
+    x_best_adv: Array
+    pred_best: Array
+    loss_best: Array
+    loss_best_last_check: Array
+    reduced_last_check: Array
+    acc: Array
+    step_size: Array
+    counter3: Array
+    k: Array
+    loss_steps: Array
+    topk: Array       # L1 only
+    sp_old: Array     # L1 only
+
+
+def _per_image_acc(logits: Array, y: Array, ignore_index: int,
+                   count_ignored_correct: bool) -> Array:
+    pred = jnp.argmax(logits, axis=-1) == y
+    if count_ignored_correct:
+        pred = pred | (y == ignore_index)
+    b = pred.shape[0]
+    return pred.reshape(b, -1).mean(-1, dtype=jnp.float32)
+
+
+def _bimg(v: Array, ndims: int) -> Array:
+    """(B,) -> (B, 1, 1, 1) broadcast helper."""
+    return v.reshape(v.shape + (1,) * ndims)
+
+
+def apgd_attack(logits_fn: Callable, x: Array, y: Array, *,
+                norm: str = "Linf", eps: float, n_iter: int = 10,
+                use_rs: bool = False, loss: str = "ce",
+                track_loss: Optional[str] = None, early_stop: bool = False,
+                is_train: bool = False, ignore_index: int = -1,
+                weights: Optional[Array] = None, rng: Optional[Array] = None,
+                x_init: Optional[Array] = None,
+                n_iter_buf: Optional[int] = None) -> APGDResult:
+    """One APGD run; parity ``apgd_train`` (``semseg/attacker.py:260-571``).
+
+    ``n_iter`` is a *runtime* value: the step-size controller constants are
+    computed here with the reference's exact Python float semantics
+    (``attacker.py:323-337``) and fed to the compiled core as scalars, so
+    different phase lengths (e.g. the 90/90/120 split of ``apgd_largereps``
+    at n_iter=300) reuse ONE executable. ``n_iter_buf`` sizes the loss
+    history buffer (defaults to n_iter; pass the max across phases).
+    """
+    assert ignore_index == -1, "Only ignore_index = -1 is supported."
+    if n_iter_buf is None:
+        n_iter_buf = n_iter
+    assert n_iter <= n_iter_buf
+    if norm in ("Linf", "L2"):
+        # exact reference arithmetic: int() of float products
+        ctrl = dict(
+            n_iter=n_iter,
+            n_iter_2=max(int(0.22 * n_iter), 1),
+            n_iter_min=max(int(0.06 * n_iter), 1),
+            size_decr=max(int(0.03 * n_iter), 1),
+        )
+        ctrl["k0"] = ctrl["n_iter_2"]
+    elif norm == "L1":
+        ctrl = dict(n_iter=n_iter, n_iter_2=1, n_iter_min=1, size_decr=1,
+                    k0=max(int(0.04 * n_iter), 1))
+    else:
+        raise ValueError(norm)
+    ctrl_arr = {k: jnp.asarray(v, jnp.int32) for k, v in ctrl.items()}
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    use_init = x_init is not None
+    if x_init is None:
+        x_init = x
+    return _apgd_core(
+        logits_fn, x, y, x_init, jnp.asarray(use_init),
+        jnp.asarray(eps, jnp.float32), ctrl_arr,
+        weights if weights is not None else None, rng,
+        norm=norm, use_rs=use_rs, loss=loss,
+        track_loss=track_loss, early_stop=early_stop, is_train=is_train,
+        ignore_index=ignore_index, n_iter_buf=int(n_iter_buf))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("logits_fn", "norm", "use_rs", "loss", "track_loss",
+                     "early_stop", "is_train", "ignore_index", "n_iter_buf"))
+def _apgd_core(logits_fn: Callable, x: Array, y: Array, x_init: Array,
+               use_init: Array, eps: Array, ctrl, weights, rng, *,
+               norm: str, use_rs: bool, loss: str,
+               track_loss: Optional[str], early_stop: bool, is_train: bool,
+               ignore_index: int, n_iter_buf: int) -> APGDResult:
+    bs = x.shape[0]
+    ndims = x.ndim - 1
+    n_fts = int(x.size // bs)
+    criterion = ATTACK_CRITERIA[loss]
+    track_fn = ATTACK_CRITERIA[track_loss or loss]
+    n_iter = ctrl["n_iter"]
+
+    mask_background = (y != ignore_index).astype(jnp.float32)
+
+    # --- init point -------------------------------------------------------
+    if use_rs:
+        if norm != "Linf":
+            raise NotImplementedError("random start only for Linf (parity)")
+        t = 2.0 * jax.random.uniform(rng, x.shape, x.dtype) - 1.0
+        x_start = jnp.clip(x + eps * t, 0.0, 1.0)
+    else:
+        x_start = x
+    x_adv = jnp.where(use_init, x_init, x_start)
+    x_adv = jnp.clip(x_adv, 0.0, 1.0)
+
+    # --- hyper-parameters (attacker.py:322-339) ---------------------------
+    if norm in ("Linf", "L2"):
+        thr_decr = 0.75
+        alpha = 2.0
+        k_max = max(int(0.22 * n_iter_buf), 1)
+    else:  # L1
+        k_max = max(int(0.04 * n_iter_buf), 1)
+        init_topk = 0.05 if is_train else 0.2
+        adasp_redstep, adasp_minstep = 1.5, 10.0
+        alpha = 1.0
+    n_iter_min = ctrl["n_iter_min"]
+    size_decr = ctrl["size_decr"]
+    k0 = ctrl["k0"]
+
+    def loss_grad(xa):
+        def f(z):
+            logits = logits_fn(z)
+            li = criterion(logits, y, weights)
+            return pixel_to_img_loss(li, mask_background).sum(), logits
+        (_, logits), grad = jax.value_and_grad(f, has_aux=True)(xa)
+        track_i = pixel_to_img_loss(track_fn(logits, y, None),
+                                    mask_background)
+        return logits, grad, track_i
+
+    logits0, grad0, loss_indiv0 = loss_grad(x_adv)
+    acc0 = _per_image_acc(logits0, y, ignore_index,
+                          count_ignored_correct=False)
+    pred_best0 = jnp.argmax(logits0, axis=-1)
+
+    state = _State(
+        i=jnp.asarray(0, jnp.int32),
+        x_adv=x_adv, x_adv_old=x_adv, grad=grad0,
+        x_best=x_adv, grad_best=grad0, x_best_adv=x_adv,
+        pred_best=pred_best0,
+        loss_best=loss_indiv0, loss_best_last_check=loss_indiv0,
+        reduced_last_check=jnp.ones((bs,), jnp.float32),
+        acc=acc0,
+        step_size=jnp.full((bs,) + (1,) * ndims, alpha * eps, x.dtype),
+        counter3=jnp.asarray(0, jnp.int32),
+        k=jnp.asarray(k0, jnp.int32),
+        loss_steps=jnp.zeros((n_iter_buf, bs), loss_indiv0.dtype),
+        topk=(jnp.full((bs,), init_topk, jnp.float32) if norm == "L1"
+              else jnp.zeros((bs,), jnp.float32)),
+        sp_old=(jnp.full((bs,), float(n_fts), jnp.float32) if norm == "L1"
+                else jnp.zeros((bs,), jnp.float32)),
+    )
+
+    def check_oscillation(loss_steps, j, k):
+        """Parity ``attacker.py:243-248`` incl. torch's index-(-1) wrap."""
+        offs = jnp.arange(k_max)
+        idx1 = (j - offs) % n_iter
+        idx2 = (j - offs - 1) % n_iter
+        cmp = (loss_steps[idx1] > loss_steps[idx2]).astype(jnp.float32)
+        mask = (offs < k).astype(jnp.float32)[:, None]
+        t = (cmp * mask).sum(0)
+        return (t <= k.astype(jnp.float32) * thr_decr).astype(jnp.float32)
+
+    def step(s: _State) -> _State:
+        i = s.i
+        grad2 = s.x_adv - s.x_adv_old
+        x_adv_old = s.x_adv
+        a = jnp.where(i > 0, 0.75, 1.0).astype(x.dtype)
+
+        if norm == "Linf":
+            z = s.x_adv + s.step_size * jnp.sign(s.grad)
+            z = project_linf(z, x, eps)
+            x_adv_1 = project_linf(
+                s.x_adv + (z - s.x_adv) * a + grad2 * (1.0 - a), x, eps)
+        elif norm == "L2":
+            z = s.x_adv + s.step_size * s.grad / (_l2_norm(s.grad) + 1e-12)
+            z = project_l2(z, x, eps)
+            x_adv_1 = s.x_adv + (z - s.x_adv) * a + grad2 * (1.0 - a)
+            x_adv_1 = project_l2(x_adv_1, x, eps)
+        elif norm == "L1":
+            g_abs = jnp.abs(s.grad).reshape(bs, -1)
+            g_sorted = jnp.sort(g_abs, axis=-1)
+            topk_curr = jnp.clip(((1.0 - s.topk) * n_fts), 0, n_fts - 1
+                                 ).astype(jnp.int32)
+            thr = jnp.take_along_axis(g_sorted, topk_curr[:, None], axis=1)
+            thr = thr.reshape((bs,) + (1,) * ndims)
+            sparsegrad = s.grad * (jnp.abs(s.grad) >= thr).astype(x.dtype)
+            sg_sign = jnp.sign(sparsegrad)
+            denom = jnp.abs(sg_sign).reshape(bs, -1).sum(-1)
+            x_adv_1 = s.x_adv + s.step_size * sg_sign / (
+                _bimg(denom, ndims) + 1e-10)
+            delta_u = x_adv_1 - x
+            delta_p = project_l1_ball_box(x, delta_u, eps)
+            x_adv_1 = x + delta_u + delta_p
+
+        x_adv = x_adv_1
+        logits, grad_new, y1 = loss_grad(x_adv)
+        # (the reference skips the last backward — keeping it is a no-op)
+        grad = grad_new
+
+        avg_acc = _per_image_acc(logits, y, ignore_index,
+                                 count_ignored_correct=True)
+        improved = avg_acc <= s.acc
+        acc = jnp.minimum(s.acc, avg_acc)
+        imp_b = _bimg(improved.astype(x.dtype), ndims)
+        x_best_adv = imp_b * x_adv + (1 - imp_b) * s.x_best_adv
+        pred_best = jnp.where(improved.reshape((bs,) + (1,) * (y.ndim - 1)),
+                              jnp.argmax(logits, axis=-1), s.pred_best)
+
+        loss_steps = s.loss_steps.at[i].set(y1)
+        better = y1 > s.loss_best
+        bet_b = _bimg(better.astype(x.dtype), ndims)
+        x_best = bet_b * x_adv + (1 - bet_b) * s.x_best
+        grad_best = bet_b * grad + (1 - bet_b) * s.grad_best
+        loss_best = jnp.where(better, y1, s.loss_best)
+
+        counter3 = s.counter3 + 1
+        do_check = counter3 == s.k
+
+        if norm in ("Linf", "L2"):
+            fl_osc = check_oscillation(loss_steps, i, s.k)
+            fl_no_impr = (1.0 - s.reduced_last_check) * (
+                s.loss_best_last_check >= loss_best).astype(jnp.float32)
+            fl_osc = jnp.maximum(fl_osc, fl_no_impr)
+            reduced_last_check = jnp.where(do_check, fl_osc,
+                                           s.reduced_last_check)
+            loss_best_last_check = jnp.where(do_check, loss_best,
+                                             s.loss_best_last_check)
+            halve = do_check & (fl_osc > 0)
+            hv_b = _bimg(halve.astype(x.dtype), ndims)
+            step_size = jnp.where(hv_b > 0, s.step_size / 2.0, s.step_size)
+            x_adv = hv_b * x_best + (1 - hv_b) * x_adv
+            grad = hv_b * grad_best + (1 - hv_b) * grad
+            counter3 = jnp.where(do_check, 0, counter3)
+            k = jnp.where(do_check,
+                          jnp.maximum(s.k - size_decr, n_iter_min), s.k)
+            topk, sp_old = s.topk, s.sp_old
+        else:  # L1 sparsity adaptation (attacker.py:553-566)
+            sp_curr = (jnp.abs(x_best - x).reshape(bs, -1) > 0).sum(-1
+                      ).astype(jnp.float32)
+            fl_redtopk = (sp_curr / s.sp_old) < 0.95
+            topk_new = sp_curr / n_fts / 1.5
+            red_b = _bimg(fl_redtopk.astype(x.dtype), ndims)
+            step_new = red_b * (alpha * eps) + (1 - red_b) * (
+                s.step_size / adasp_redstep)
+            step_new = jnp.clip(step_new, alpha * eps / adasp_minstep,
+                                alpha * eps)
+            step_size = jnp.where(do_check, step_new, s.step_size)
+            topk = jnp.where(do_check, topk_new, s.topk)
+            sp_old = jnp.where(do_check, sp_curr, s.sp_old)
+            x_adv = jnp.where(do_check, red_b * x_best + (1 - red_b) * x_adv,
+                              x_adv)
+            grad = jnp.where(do_check,
+                             red_b * grad_best + (1 - red_b) * grad, grad)
+            counter3 = jnp.where(do_check, 0, counter3)
+            k = s.k
+            reduced_last_check = s.reduced_last_check
+            loss_best_last_check = s.loss_best_last_check
+
+        return _State(i + 1, x_adv, x_adv_old, grad, x_best, grad_best,
+                      x_best_adv, pred_best, loss_best, loss_best_last_check,
+                      reduced_last_check, acc, step_size, counter3, k,
+                      loss_steps, topk, sp_old)
+
+    def cond(s: _State):
+        running = s.i < n_iter
+        if early_stop:
+            running = running & (s.acc.sum() > 0)
+        return running
+
+    final = jax.lax.while_loop(cond, step, state)
+    return APGDResult(final.x_best, final.acc, final.loss_best,
+                      final.x_best_adv)
+
+
+def _project_back(z: Array, x: Array, norm: str, eps: float) -> Array:
+    """Parity ``apgd_largereps._project`` (``attacker.py:683-690``)."""
+    if norm != "Linf":
+        raise NotImplementedError(norm)
+    return jnp.clip(x + jnp.clip(z - x, -eps, eps), 0.0, 1.0)
+
+
+def apgd_largereps(logits_fn: Callable, x: Array, y: Array, *,
+                   weights: Optional[Array] = None, norm: str = "Linf",
+                   eps: float = 8.0 / 255.0, n_iter: int = 10,
+                   loss: str = "ce", early_stop: bool = False,
+                   track_loss: Optional[str] = None, use_rs: bool = False,
+                   ignore_index: int = -1, rng: Optional[Array] = None):
+    """SEA per-loss attack: 3 warm-started phases at eps * (2, 1.5, 1).
+
+    Parity: ``semseg/attacker.py:662-728``. Returns (x_adv, None, acc).
+    """
+    n_iters = [int(0.3 * n_iter), int(0.3 * n_iter)]
+    n_iters.append(n_iter - sum(n_iters))
+    epss = [2.0 * eps, 1.5 * eps, 1.0 * eps]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    # one executable serves all three phases: phase length / eps / warm-start
+    # flag are runtime scalars (see apgd_attack)
+    n_buf = max(n_iters)
+    x_init = None
+    acc = jnp.ones((x.shape[0],), jnp.float32)
+    for phase, (it, ep) in enumerate(zip(n_iters, epss)):
+        if x_init is not None:
+            x_init = _project_back(x_init, x, norm, ep)
+        rng, sub = jax.random.split(rng)
+        res = apgd_attack(
+            logits_fn, x, y, norm=norm, eps=ep, n_iter=it, use_rs=use_rs,
+            loss=loss, track_loss=track_loss, early_stop=early_stop,
+            ignore_index=ignore_index, weights=weights, rng=sub,
+            x_init=x_init, n_iter_buf=n_buf)
+        acc = res.acc
+        x_init = res.x_best_adv
+    return x_init, None, acc
+
+
+def apgd_restarts(logits_fn: Callable, x: Array, y: Array, *,
+                  norm: str = "Linf", eps: float = 8.0 / 255.0,
+                  n_iter: int = 10, loss: str = "ce", n_restarts: int = 1,
+                  early_stop: bool = False, track_loss: Optional[str] = None,
+                  use_rs: bool = False, ignore_index: int = -1,
+                  rng: Optional[Array] = None):
+    """APGD with restarts, keeping per-image best (lowest accuracy) points.
+
+    Parity: ``semseg/attacker.py:574-659``. The reference re-attacks only
+    still-robust images; per-image updates are independent so attacking the
+    full (static-shape) batch and masking the merge is equivalent — except
+    that batch-level early stopping may run more steps here (results
+    identical, best-point tracking is monotone).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    acc = jnp.ones((x.shape[0],), jnp.float32)
+    x_adv = x
+    ndims = x.ndim - 1
+    for _ in range(n_restarts):
+        rng, sub = jax.random.split(rng)
+        res = apgd_attack(
+            logits_fn, x, y, norm=norm, eps=eps, n_iter=n_iter,
+            use_rs=use_rs, loss=loss, track_loss=track_loss,
+            early_stop=early_stop, ignore_index=ignore_index, rng=sub)
+        logits = logits_fn(res.x_best_adv)
+        acc_curr = _per_image_acc(logits, y, ignore_index,
+                                  count_ignored_correct=True)
+        to_update = (acc_curr < acc) & (acc > 0)
+        up = _bimg(to_update.astype(x.dtype), ndims)
+        x_adv = up * res.x_best_adv + (1 - up) * x_adv
+        acc = jnp.where(to_update, acc_curr, acc)
+    return x_adv, None, acc

@@ -1,0 +1,134 @@
+"""ConvNeXt backbone (+ CvSt convolutional stem variants), NHWC Flax.
+
+Behavioral parity target: ``semseg/models/backbones/convnext_orig.py``.
+Four stages; the stem is either the classic 4x4/4 patchify conv + LayerNorm
+(``convnext_orig.py:140-147``) or, for ``*_CVST`` variants, two 3x3 stride-2
+convs with LayerNorm+GELU after each (``ConvBlock1``,
+``convnext_orig.py:17-38``). Each stage output is LayerNorm-ed and returned
+as a pyramid feature (``forward_features``, ``convnext_orig.py:309-321``).
+
+TPU-first notes: everything is channels-last so the ConvNeXt block is a
+depthwise conv + LN + two Dense layers with *no* layout permutes (the
+reference permutes NCHW<->NHWC around every block, ``convnext_orig.py:72-85``
+— free here). GELU is exact (erf), matching ``nn.GELU()``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from robseg_tpu.models.layers import DropPath, trunc_normal_init
+
+Array = jnp.ndarray
+
+# [depths, dims, aux_head_channels, drop_path_rate]
+# Parity: ``convnext_orig.py:88-100`` (CONVNEXT_SETTINGS).
+CONVNEXT_SETTINGS = {
+    "T": [[3, 3, 9, 3], [96, 192, 384, 768], 384, 0.4],
+    "T_CVST": [[3, 3, 9, 3], [96, 192, 384, 768], 384, 0.4],
+    "T_CVST_ROB": [[3, 3, 9, 3], [96, 192, 384, 768], 384, 0.4],
+    "S_CVST_ROB": [[3, 3, 27, 3], [96, 192, 384, 768], 384, 0.3],
+    "S_CVST": [[3, 3, 27, 3], [96, 192, 384, 768], 384, 0.3],
+    "B": [[3, 3, 27, 3], [128, 256, 512, 1024], 512, 0.4],
+}
+
+
+class ConvNeXtBlock(nn.Module):
+    """dwconv7x7 -> LN -> Dense 4x -> GELU -> Dense -> gamma -> droppath."""
+    dim: int
+    drop_path: float = 0.0
+    layer_scale_init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        y = nn.Conv(self.dim, (7, 7), padding=3,
+                    feature_group_count=self.dim,
+                    kernel_init=trunc_normal_init(0.02), name="dwconv")(x)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm")(y)
+        y = nn.Dense(4 * self.dim, kernel_init=trunc_normal_init(0.02),
+                     name="pwconv1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, kernel_init=trunc_normal_init(0.02),
+                     name="pwconv2")(y)
+        gamma = self.param(
+            "gamma",
+            nn.initializers.constant(self.layer_scale_init_value),
+            (self.dim,))
+        y = gamma * y
+        y = DropPath(self.drop_path, name="drop_path")(y, deterministic)
+        return x + y
+
+
+class CvStStem(nn.Module):
+    """Two-conv stride-2 stem: 3->48->96 with LN+GELU after each conv.
+
+    Parity: ``ConvBlock1`` (``convnext_orig.py:17-38``).
+    """
+    planes: int = 48
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(self.planes, (3, 3), strides=2, padding=1, name="conv0")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm0")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(self.planes * 2, (3, 3), strides=2, padding=1,
+                    name="conv1")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = nn.gelu(x, approximate=False)
+        return x
+
+
+class PatchifyStem(nn.Module):
+    """4x4 stride-4 conv + LayerNorm (``convnext_orig.py:140-147``)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Conv(self.dim, (4, 4), strides=4, padding=0,
+                    kernel_init=trunc_normal_init(0.02), name="conv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return x
+
+
+class ConvNeXt(nn.Module):
+    """Four-stage ConvNeXt feature extractor returning 4 normed features.
+
+    Input:  (B, H, W, 3) -> outputs at strides (4, 8, 16, 32), channels-last.
+    """
+    variant: str = "T"
+    layer_scale_init_value: float = 1.0
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True
+                 ) -> Tuple[Array, ...]:
+        assert self.variant in CONVNEXT_SETTINGS, self.variant
+        depths, dims, _, drop_path_rate = CONVNEXT_SETTINGS[self.variant]
+        dp_rates = np.linspace(0.0, drop_path_rate, sum(depths))
+
+        outs = []
+        cur = 0
+        for i in range(4):
+            if i == 0:
+                if "CVST" in self.variant:
+                    x = CvStStem(name="stem_cvst")(x)
+                else:
+                    x = PatchifyStem(dims[0], name="stem")(x)
+            else:
+                x = nn.LayerNorm(epsilon=1e-6, name=f"downsample_norm{i}")(x)
+                x = nn.Conv(dims[i], (2, 2), strides=2, padding=0,
+                            kernel_init=trunc_normal_init(0.02),
+                            name=f"downsample_conv{i}")(x)
+            for j in range(depths[i]):
+                x = ConvNeXtBlock(
+                    dims[i], drop_path=float(dp_rates[cur + j]),
+                    layer_scale_init_value=self.layer_scale_init_value,
+                    name=f"stage{i}_block{j}")(x, deterministic)
+            cur += depths[i]
+            if i in self.out_indices:
+                outs.append(nn.LayerNorm(epsilon=1e-6, name=f"norm{i}")(x))
+        return tuple(outs)

@@ -1,0 +1,210 @@
+"""PIR-AT trainer: adversarial training as ONE compiled step per iteration.
+
+Behavioral parity target: ``tools/train_rob_seg.py`` (``Trainer``):
+  * iteration-based loop (``:318``), eval + checkpoint every
+    ``eval_freq`` epochs (``:387-424``), best-mIoU checkpoint, final
+    best-checkpoint reload + full eval (``:426-454``);
+  * adversarial example generation with the model in eval mode, then the
+    fwd/bwd update in train mode (``:333-351``);
+  * per-model loss composition: UperNet (loss, _) = model(img, lbl);
+    PSPNet main + 0.4*aux (``:338-347``); Segmenter CE (``:345-347``).
+
+TPU-native design: the attack, forward/backward, gradient ``psum`` and
+optimizer update run inside a single ``shard_map``-decorated jitted step
+over the ``data`` mesh axis. The reference pays a DDP all-reduce for every
+attack backward (the model stays DDP-wrapped during attack generation,
+``SURVEY.md §3.3``); here attack input-gradients are replica-local by
+construction and only the parameter gradients are reduced — once.
+
+BatchNorm: batch statistics are computed per shard (parity with plain
+``nn.BatchNorm2d`` under DDP); running stats are ``pmean``-ed after each
+step so replicas stay bit-identical (the reference lets rank stats drift
+and checkpoints rank 0's — documented deviation, same expectation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+import optax
+
+from robseg_tpu.attacks.pgd import TRAIN_ATTACK_LOSSES
+from robseg_tpu.ops.losses import segmentation_cross_entropy
+from robseg_tpu.ops.metrics import (confusion_matrix, iou_from_hist,
+                                    f1_from_hist, pixel_acc_from_hist)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class AttackConfig:
+    """Training-time attack; parity ``TRAIN`` cfg + ``Pgd_Attack`` defaults
+    (``tools/train_rob_seg.py:293-301``)."""
+    enabled: bool = True
+    name: str = "pgd"          # TRAIN.ATTACK
+    loss_fn: str = "pgd"       # TRAIN.LOSS_FN
+    eps: float = 4.0 / 255.0   # TRAIN.EPS / 255
+    n_iters: int = 5           # TRAIN.N_ITERS
+    alpha: float = 1e-2
+
+
+def _pgd_inline(logits_fn, x, y, *, eps, alpha, num_iter, loss):
+    """``Pgd_Attack.adv_attack`` body, traceable inside shard_map
+    (mirrors ``robseg_tpu.attacks.pgd.pgd_attack`` without the jit)."""
+    loss_fn = TRAIN_ATTACK_LOSSES[loss]
+    bs = x.shape[0]
+    ndims = x.ndim - 1
+
+    def step(carry, _):
+        delta, best_delta, running_best = carry
+
+        def f(d):
+            logits = logits_fn(jnp.clip(x + d, 0.0, 1.0))
+            per_img = loss_fn(logits, y)
+            return jnp.sum(per_img), per_img
+
+        (_, per_img), g = jax.value_and_grad(f, has_aux=True)(delta)
+        per_img = jnp.broadcast_to(per_img, (bs,))
+        ind = per_img >= running_best
+        running_best = jnp.where(ind, per_img, running_best)
+        delta = delta + alpha * jnp.sign(g)
+        delta = jnp.clip(x + delta, 0.0, 1.0) - x
+        delta = jnp.clip(delta, -eps, eps)
+        ind_b = ind.reshape((bs,) + (1,) * ndims).astype(x.dtype)
+        best_delta = ind_b * delta + (1 - ind_b) * best_delta
+        return (delta, best_delta, running_best), None
+
+    init = (jnp.zeros_like(x), jnp.zeros_like(x),
+            jnp.zeros((bs,), jnp.float32))
+    (_, best_delta, _), _ = jax.lax.scan(step, init, None, length=num_iter)
+    return jnp.clip(x + best_delta, 0.0, 1.0)
+
+
+def make_loss_fn(module, model_name: str) -> Callable:
+    """(params, batch_stats, x, y, rngs) -> (loss, new_batch_stats)."""
+    def loss_fn(params, batch_stats, x, y, rngs):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        if model_name == "PSPNet":
+            out, mut = module.apply(variables, x, labels=y, train=True,
+                                    mutable=["batch_stats"], rngs=rngs)
+            main_loss, aux_loss, _ = out
+            loss = main_loss + 0.4 * aux_loss
+        elif model_name == "UperNetForSemanticSegmentation":
+            out, mut = module.apply(variables, x, labels=y, train=True,
+                                    mutable=["batch_stats"], rngs=rngs)
+            loss, _ = out
+        else:  # SegMenter
+            logits, mut = module.apply(variables, x, train=True,
+                                       mutable=["batch_stats"], rngs=rngs)
+            loss = segmentation_cross_entropy(logits, y, -1)
+        return loss, mut.get("batch_stats", {})
+    return loss_fn
+
+
+def make_train_step(module, model_name: str,
+                    tx: optax.GradientTransformation, mesh: Mesh,
+                    attack: AttackConfig, axis_name: str = "data"):
+    """Build the sharded, jitted (state, images, labels) -> (state, metrics)
+    train step. Images/labels enter sharded over ``axis_name``."""
+
+    loss_fn = make_loss_fn(module, model_name)
+
+    def eval_logits_fn(params, batch_stats):
+        v = {"params": params}
+        if batch_stats:
+            v["batch_stats"] = batch_stats
+        return lambda x: module.apply(v, x)
+
+    def per_device_step(state: TrainState, images, labels):
+        rng = state.rng
+        rng = jax.random.fold_in(rng, state.step)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        rng_attack, rng_drop, rng_dp = jax.random.split(rng, 3)
+
+        x = images
+        if attack.enabled:
+            # model.eval() during attack generation (train_rob_seg.py:333-335)
+            lf = eval_logits_fn(jax.lax.stop_gradient(state.params),
+                                jax.lax.stop_gradient(state.batch_stats))
+            x = _pgd_inline(lf, images, labels, eps=attack.eps,
+                            alpha=attack.alpha, num_iter=attack.n_iters,
+                            loss=attack.loss_fn)
+            x = jax.lax.stop_gradient(x)
+
+        rngs = {"dropout": rng_drop, "droppath": rng_dp}
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, x,
+                                   labels, rngs)
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        # keep BN running stats identical across replicas
+        new_bs = jax.lax.pmean(new_bs, axis_name) if new_bs else new_bs
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, {"loss": loss}
+
+    state_spec = P()  # replicated
+    data_spec = P(axis_name)
+    sharded = shard_map(
+        per_device_step, mesh=mesh,
+        in_specs=(state_spec, data_spec, data_spec),
+        out_specs=(state_spec, state_spec),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_eval_step(module, num_classes: int, mesh: Mesh,
+                   axis_name: str = "data", ignore_label: int = -1):
+    """Sharded eval step accumulating a *global* confusion matrix via psum
+    (an improvement over the reference's rank-0-only eval,
+    ``train_rob_seg.py:389``)."""
+
+    def per_device(params, batch_stats, images, labels, hist):
+        v = {"params": params}
+        if batch_stats:
+            v["batch_stats"] = batch_stats
+        logits = module.apply(v, images)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        h = confusion_matrix(pred, labels, num_classes=num_classes,
+                             ignore_label=ignore_label)
+        h = jax.lax.psum(h, axis_name)
+        return hist + h
+
+    sharded = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(sharded)
+
+
+def metrics_from_hist(hist: jnp.ndarray) -> Dict[str, Any]:
+    """(cla_acc, macc, aacc, f1, mf1, ious, miou) like ``val.py:14-32``."""
+    acc, macc, aacc = pixel_acc_from_hist(hist)
+    f1, mf1 = f1_from_hist(hist)
+    ious, miou = iou_from_hist(hist)
+    return {
+        "class_acc": np.asarray(acc), "mAcc": float(macc),
+        "aAcc": float(aacc), "f1": np.asarray(f1), "mF1": float(mf1),
+        "ious": np.asarray(ious), "mIoU": float(miou),
+    }

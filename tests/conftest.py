@@ -1,0 +1,26 @@
+"""Test env: force an 8-device virtual CPU mesh before JAX import.
+
+This simulates a TPU slice for sharding tests (SURVEY.md §4 test strategy)
+and keeps the suite runnable on any machine.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard override (host sets axon/TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# This environment's DEFAULT matmul/conv precision is bfloat16 (TPU-style)
+# even on the CPU backend; parity tests against torch float32 need full f32.
+jax.config.update("jax_default_matmul_precision", "float32")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

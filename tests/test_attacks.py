@@ -1,0 +1,242 @@
+"""Attack-engine tests: invariants + golden parity vs a torch transcription.
+
+The golden test re-implements the reference APGD loop (semseg/attacker.py:
+260-571) in torch on a tiny differentiable model and checks our lax.while_
+loop version produces the same trajectory. This pins down the step-size
+controller, best-point bookkeeping and momentum semantics.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from robseg_tpu.attacks import apgd_attack, apgd_largereps, pgd_attack
+from robseg_tpu.ops.losses import ATTACK_CRITERIA, pixel_to_img_loss
+
+B, H, W, C = 3, 8, 8, 4
+EPS = 8.0 / 255.0
+
+
+def _make_linear_model(rng):
+    """A tiny fixed conv 'model': logits = x @ W + b, shared weights."""
+    wk = rng.normal(size=(3, C)).astype(np.float32) * 2.0
+    bk = rng.normal(size=(C,)).astype(np.float32) * 0.1
+
+    def jax_fn(x):
+        return jnp.einsum("bhwc,cd->bhwd", x, jnp.asarray(wk)) + jnp.asarray(bk)
+
+    tw = torch.from_numpy(wk).double()
+    tb = torch.from_numpy(bk).double()
+
+    def torch_fn(x_nchw):
+        # x (B, 3, H, W) -> logits (B, C, H, W)
+        return (torch.einsum("bchw,cd->bdhw", x_nchw, tw)
+                + tb.view(1, C, 1, 1))
+
+    return jax_fn, torch_fn
+
+
+def _torch_apgd(torch_fn, x_np, y_np, n_iter, loss_name="ce-avg",
+                track_name="ce-avg"):
+    """Direct transcription of semseg/attacker.py:260-571 (Linf, no rs)."""
+    x = torch.from_numpy(np.moveaxis(x_np, -1, 1).copy()).double()
+    y = torch.from_numpy(y_np).long()
+    bs = x.shape[0]
+    eps = EPS
+
+    def criterion(logits, yy):
+        return F.cross_entropy(logits, yy, reduction="none", ignore_index=-1)
+
+    mask_background = 1 - (y == -1).float()
+    x_adv = x.clone().clamp(0., 1.)
+    x_best = x_adv.clone()
+    x_best_adv = x_adv.clone()
+    loss_steps = torch.zeros([n_iter, bs], dtype=torch.float64)
+
+    n_iter_2 = max(int(0.22 * n_iter), 1)
+    n_iter_min = max(int(0.06 * n_iter), 1)
+    size_decr = max(int(0.03 * n_iter), 1)
+    k = n_iter_2
+    thr_decr = .75
+    step_size = 2. * eps * torch.ones([bs, 1, 1, 1], dtype=torch.float64)
+    counter3 = 0
+
+    def fwd_loss_grad(xa):
+        xa = xa.clone().requires_grad_(True)
+        logits = torch_fn(xa)
+        li = criterion(logits, y)
+        li = (mask_background * li).view(bs, -1).mean(-1)
+        grad = torch.autograd.grad(li.sum(), [xa])[0]
+        return logits.detach(), grad.detach(), li.detach()
+
+    logits, grad, loss_indiv = fwd_loss_grad(x_adv)
+    acc = (logits.max(1)[1] == y).float().view(bs, -1).mean(-1)
+    loss_best = loss_indiv.clone()
+    loss_best_last_check = loss_best.clone()
+    reduced_last_check = torch.ones_like(loss_best)
+    grad_best = grad.clone()
+    x_adv_old = x_adv.clone()
+
+    def check_oscillation(xx, j, kk, k3):
+        t = torch.zeros(xx.shape[1])
+        for c5 in range(kk):
+            t += (xx[j - c5] > xx[j - c5 - 1]).float()
+        return (t <= kk * k3 * torch.ones_like(t)).float()
+
+    for i in range(n_iter):
+        grad2 = x_adv - x_adv_old
+        x_adv_old = x_adv.clone()
+        a = 0.75 if i > 0 else 1.0
+        x_adv_1 = x_adv + step_size * torch.sign(grad)
+        x_adv_1 = torch.clamp(
+            torch.min(torch.max(x_adv_1, x - eps), x + eps), 0., 1.)
+        x_adv_1 = torch.clamp(torch.min(torch.max(
+            x_adv + (x_adv_1 - x_adv) * a + grad2 * (1 - a), x - eps),
+            x + eps), 0., 1.)
+        x_adv = x_adv_1 + 0.
+
+        logits, grad, y1 = fwd_loss_grad(x_adv)
+        pred = logits.max(1)[1] == y
+        pred[y == -1] = True
+        avg_acc = pred.float().view(bs, -1).mean(-1)
+        ind_pred = (avg_acc <= acc).nonzero().squeeze(-1)
+        acc = torch.min(acc, avg_acc)
+        x_best_adv[ind_pred] = x_adv[ind_pred] + 0.
+
+        loss_steps[i] = y1 + 0
+        ind = (y1 > loss_best).nonzero().squeeze(-1)
+        x_best[ind] = x_adv[ind].clone()
+        grad_best[ind] = grad[ind].clone()
+        loss_best[ind] = y1[ind] + 0
+
+        counter3 += 1
+        if counter3 == k:
+            fl_oscillation = check_oscillation(loss_steps, i, k, thr_decr)
+            fl_reduce_no_impr = (1. - reduced_last_check) * (
+                loss_best_last_check >= loss_best).float()
+            fl_oscillation = torch.max(fl_oscillation, fl_reduce_no_impr)
+            reduced_last_check = fl_oscillation.clone()
+            loss_best_last_check = loss_best.clone()
+            if fl_oscillation.sum() > 0:
+                ind_fl = (fl_oscillation > 0).nonzero().squeeze(-1)
+                step_size[ind_fl] /= 2.0
+                x_adv[ind_fl] = x_best[ind_fl].clone()
+                grad[ind_fl] = grad_best[ind_fl].clone()
+            counter3 = 0
+            k = max(k - size_decr, n_iter_min)
+
+    return (np.moveaxis(x_best.numpy(), 1, -1),
+            acc.numpy(),
+            loss_best.numpy(),
+            np.moveaxis(x_best_adv.numpy(), 1, -1))
+
+
+class TestAPGDGoldenParity:
+    @pytest.mark.parametrize("n_iter", [5, 25])
+    def test_matches_torch_transcription(self, rng, n_iter):
+        # float64 on both sides: sign() amplifies float32 noise chaotically,
+        # so exact-semantics parity is only testable in double precision.
+        jax_fn, torch_fn = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float64)
+        y = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+        y[0, :2, :2] = -1  # some ignored pixels
+
+        ref = _torch_apgd(torch_fn, x, y, n_iter)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            res = apgd_attack(
+                jax_fn, jnp.asarray(x), jnp.asarray(y),
+                norm="Linf", eps=EPS, n_iter=n_iter,
+                use_rs=False, loss="ce-avg", track_loss="ce-avg")
+            res = jax.tree.map(np.asarray, res)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        np.testing.assert_allclose(np.asarray(res.loss_best), ref[2],
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(res.acc), ref[1], atol=1e-7)
+        np.testing.assert_allclose(np.asarray(res.x_best_adv), ref[3],
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(res.x_best), ref[0], atol=1e-8)
+
+
+class TestAPGDInvariants:
+    def test_eps_ball_and_range(self, rng):
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        y = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+        res = apgd_attack(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                          norm="Linf", eps=EPS, n_iter=10, use_rs=True,
+                          loss="mask-ce-avg", track_loss="ce-avg",
+                          rng=jax.random.PRNGKey(1))
+        for out in (res.x_best, res.x_best_adv):
+            out = np.asarray(out)
+            assert np.abs(out - x).max() <= EPS + 1e-6
+            assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_l2_ball(self, rng):
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        y = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+        res = apgd_attack(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                          norm="L2", eps=1.0, n_iter=10, loss="ce-avg")
+        out = np.asarray(res.x_best_adv)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_attack_reduces_accuracy(self, rng):
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        logits = np.asarray(jax_fn(jnp.asarray(x)))
+        y = logits.argmax(-1).astype(np.int32)  # start 100% correct
+        res = apgd_attack(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                          norm="Linf", eps=0.1, n_iter=20, loss="ce-avg")
+        assert float(np.asarray(res.acc).mean()) < 1.0
+
+    def test_largereps_ball_and_improvement(self, rng):
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        logits = np.asarray(jax_fn(jnp.asarray(x)))
+        y = logits.argmax(-1).astype(np.int32)
+        x_adv, _, acc = apgd_largereps(
+            jax_fn, jnp.asarray(x), jnp.asarray(y), eps=EPS, n_iter=20,
+            loss="mask-ce-avg", track_loss="ce-avg", use_rs=True,
+            rng=jax.random.PRNGKey(0))
+        out = np.asarray(x_adv)
+        assert np.abs(out - x).max() <= EPS + 1e-6
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        assert float(np.asarray(acc).mean()) <= 1.0
+
+    def test_l1_ball(self, rng):
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        y = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+        eps1 = 10.0
+        res = apgd_attack(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                          norm="L1", eps=eps1, n_iter=10, loss="ce-avg")
+        out = np.asarray(res.x_best_adv)
+        l1 = np.abs((out - x).reshape(B, -1)).sum(-1)
+        assert np.all(l1 <= eps1 + 1e-2)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+class TestPGD:
+    def test_ball_and_loss_increase(self, rng):
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        logits = np.asarray(jax_fn(jnp.asarray(x)))
+        y = logits.argmax(-1).astype(np.int32)
+        adv = pgd_attack(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                         eps=EPS, alpha=1e-2, num_iter=5, loss="pgd")
+        adv = np.asarray(adv)
+        assert np.abs(adv - x).max() <= EPS + 1e-6
+        assert adv.min() >= 0.0 and adv.max() <= 1.0
+
+        def mean_ce(xx):
+            lg = np.asarray(jax_fn(jnp.asarray(xx)))
+            lse = np.log(np.exp(lg).sum(-1))
+            nll = lse - np.take_along_axis(lg, y[..., None], -1)[..., 0]
+            return nll.mean()
+
+        assert mean_ce(adv) > mean_ce(x)

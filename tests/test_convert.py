@@ -1,0 +1,342 @@
+"""Checkpoint-converter tests.
+
+Two layers of verification:
+  1. structural: synthesized torch-layout state dicts convert into trees
+     whose structure+shapes exactly match `module.init` templates;
+  2. numerical: torch implementations of the building blocks (conv+BN+ReLU,
+     ConvNeXt block, ViT block) produce the same outputs as our Flax modules
+     after weight conversion.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from robseg_tpu import models
+from robseg_tpu.convert import (convert_convnext_backbone, convert_upernet,
+                                convert_pspnet, convert_segmenter)
+from robseg_tpu.models.convnext import ConvNeXtBlock
+from robseg_tpu.models.layers import ConvModule
+from robseg_tpu.models.vit import Block as VitBlock
+
+
+def _tree_shapes(tree):
+    return {"/".join(str(getattr(k, "key", k)) for k in kp): v.shape
+            for kp, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def _assert_same_structure(expected, got, allow_missing=()):
+    es, gs = _tree_shapes(expected), _tree_shapes(got)
+    missing = set(es) - set(gs)
+    missing = {m for m in missing
+               if not any(m.startswith(a) for a in allow_missing)}
+    extra = set(gs) - set(es)
+    assert not missing, f"missing converted params: {sorted(missing)[:10]}"
+    assert not extra, f"unexpected converted params: {sorted(extra)[:10]}"
+    for k in gs:
+        if k in es:
+            assert es[k] == tuple(gs[k]), (k, es[k], gs[k])
+
+
+class TestNumericalBlockParity:
+    def test_conv_module_matches_torch(self, rng):
+        cin, cout = 5, 7
+        tconv = nn.Conv2d(cin, cout, 3, padding=1, bias=False)
+        tbn = nn.BatchNorm2d(cout).eval()
+        with torch.no_grad():
+            tbn.weight.copy_(torch.rand(cout) + 0.5)
+            tbn.bias.copy_(torch.rand(cout))
+            tbn.running_mean.copy_(torch.randn(cout) * 0.1)
+            tbn.running_var.copy_(torch.rand(cout) + 0.5)
+        x = rng.random((2, 9, 9, cin)).astype(np.float32)
+        ref = F.relu(tbn(tconv(torch.from_numpy(
+            np.moveaxis(x, -1, 1).copy())))).detach().numpy()
+
+        m = ConvModule(cout, kernel_size=3, padding=1)
+        params = {
+            "conv": {"kernel": np.transpose(
+                tconv.weight.detach().numpy(), (2, 3, 1, 0))},
+            "bn": {"scale": tbn.weight.detach().numpy(),
+                   "bias": tbn.bias.detach().numpy()},
+        }
+        stats = {"bn": {"mean": tbn.running_mean.numpy(),
+                        "var": tbn.running_var.numpy()}}
+        out = m.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.moveaxis(ref, 1, -1), atol=2e-5)
+
+    def test_convnext_block_matches_torch(self, rng):
+        dim = 8
+        x = rng.random((1, 6, 6, dim)).astype(np.float32)
+        dw = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        ln_w = torch.rand(dim) + 0.5
+        ln_b = torch.randn(dim) * 0.1
+        fc1 = nn.Linear(dim, 4 * dim)
+        fc2 = nn.Linear(4 * dim, dim)
+        gamma = torch.rand(dim)
+
+        with torch.no_grad():
+            tx = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+            y = dw(tx).permute(0, 2, 3, 1)
+            y = F.layer_norm(y, (dim,), ln_w, ln_b, 1e-6)
+            y = fc2(F.gelu(fc1(y)))
+            y = gamma * y
+            ref = (tx + y.permute(0, 3, 1, 2)).numpy()
+
+        m = ConvNeXtBlock(dim)
+        params = {
+            "dwconv": {"kernel": np.transpose(
+                dw.weight.detach().numpy(), (2, 3, 1, 0)),
+                "bias": dw.bias.detach().numpy()},
+            "norm": {"scale": ln_w.numpy(), "bias": ln_b.numpy()},
+            "pwconv1": {"kernel": fc1.weight.detach().numpy().T,
+                        "bias": fc1.bias.detach().numpy()},
+            "pwconv2": {"kernel": fc2.weight.detach().numpy().T,
+                        "bias": fc2.bias.detach().numpy()},
+            "gamma": gamma.numpy(),
+        }
+        out = m.apply({"params": params}, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.moveaxis(ref, 1, -1), atol=2e-5)
+
+    def test_vit_block_matches_torch(self, rng):
+        dim, heads, n = 16, 4, 10
+        x = rng.normal(size=(2, n, dim)).astype(np.float32)
+        n1w, n1b = torch.rand(dim) + 0.5, torch.randn(dim) * 0.1
+        n2w, n2b = torch.rand(dim) + 0.5, torch.randn(dim) * 0.1
+        qkv = nn.Linear(dim, dim * 3)
+        proj = nn.Linear(dim, dim)
+        fc1 = nn.Linear(dim, dim * 4)
+        fc2 = nn.Linear(dim * 4, dim)
+
+        with torch.no_grad():
+            tx = torch.from_numpy(x)
+            h = F.layer_norm(tx, (dim,), n1w, n1b, 1e-6)
+            qkv_o = qkv(h).reshape(2, n, 3, heads, dim // heads
+                                   ).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv_o[0], qkv_o[1], qkv_o[2]
+            att = (q @ k.transpose(-2, -1)) * (dim // heads) ** -0.5
+            att = att.softmax(-1)
+            h = (att @ v).transpose(1, 2).reshape(2, n, dim)
+            tx = tx + proj(h)
+            h = F.layer_norm(tx, (dim,), n2w, n2b, 1e-6)
+            ref = (tx + fc2(F.gelu(fc1(h)))).numpy()
+
+        m = VitBlock(dim, heads, dim * 4, dropout=0.0, drop_path=0.0)
+        params = {
+            "norm1": {"scale": n1w.numpy(), "bias": n1b.numpy()},
+            "norm2": {"scale": n2w.numpy(), "bias": n2b.numpy()},
+            "attn": {"qkv": {"kernel": qkv.weight.detach().numpy().T,
+                             "bias": qkv.bias.detach().numpy()},
+                     "proj": {"kernel": proj.weight.detach().numpy().T,
+                              "bias": proj.bias.detach().numpy()}},
+            "mlp": {"fc1": {"kernel": fc1.weight.detach().numpy().T,
+                            "bias": fc1.bias.detach().numpy()},
+                    "fc2": {"kernel": fc2.weight.detach().numpy().T,
+                            "bias": fc2.bias.detach().numpy()}},
+        }
+        out = m.apply({"params": params}, jnp.asarray(x))
+        # LayerNorm eps differs (flax default 1e-6 here); tolerance loose
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def _fake_convnext_sd(variant, cvst_layout, prefix=""):
+    """Synthesize a torch-layout state dict with correct shapes."""
+    from robseg_tpu.models.convnext import CONVNEXT_SETTINGS
+    depths, dims, _, _ = CONVNEXT_SETTINGS[variant]
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def add(k, shape):
+        sd[prefix + k] = rng.normal(size=shape).astype(np.float32)
+
+    if "CVST" in variant:
+        base = "stem.stem" if cvst_layout else "downsample_layers.0.stem"
+        add(f"{base}.0.weight", (48, 3, 3, 3))
+        add(f"{base}.0.bias", (48,))
+        add(f"{base}.1.weight", (48,))
+        add(f"{base}.1.bias", (48,))
+        add(f"{base}.3.weight", (96, 48, 3, 3))
+        add(f"{base}.3.bias", (96,))
+        add(f"{base}.4.weight", (96,))
+        add(f"{base}.4.bias", (96,))
+    else:
+        add("downsample_layers.0.0.weight", (dims[0], 3, 4, 4))
+        add("downsample_layers.0.0.bias", (dims[0],))
+        add("downsample_layers.0.1.weight", (dims[0],))
+        add("downsample_layers.0.1.bias", (dims[0],))
+    for l in range(1, 4):
+        ds = (f"stages.{l}.downsample" if cvst_layout
+              else f"downsample_layers.{l}")
+        add(f"{ds}.0.weight", (dims[l - 1],))
+        add(f"{ds}.0.bias", (dims[l - 1],))
+        add(f"{ds}.1.weight", (dims[l], dims[l - 1], 2, 2))
+        add(f"{ds}.1.bias", (dims[l],))
+    for j in range(4):
+        for k in range(depths[j]):
+            b = (f"stages.{j}.blocks.{k}" if cvst_layout
+                 else f"stages.{j}.{k}")
+            dw = "conv_dw" if cvst_layout else "dwconv"
+            fc1 = "mlp.fc1" if cvst_layout else "pwconv1"
+            fc2 = "mlp.fc2" if cvst_layout else "pwconv2"
+            add(f"{b}.gamma", (dims[j],))
+            add(f"{b}.{dw}.weight", (dims[j], 1, 7, 7))
+            add(f"{b}.{dw}.bias", (dims[j],))
+            add(f"{b}.norm.weight", (dims[j],))
+            add(f"{b}.norm.bias", (dims[j],))
+            add(f"{b}.{fc1}.weight", (4 * dims[j], dims[j]))
+            add(f"{b}.{fc1}.bias", (4 * dims[j],))
+            add(f"{b}.{fc2}.weight", (dims[j], 4 * dims[j]))
+            add(f"{b}.{fc2}.bias", (dims[j],))
+    return sd
+
+
+class TestStructuralConversion:
+    def test_convnext_cvst_backbone_structure(self):
+        m = models.ConvNeXt("T_CVST")
+        template = m.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 64, 64, 3)))["params"]
+        sd = _fake_convnext_sd("T_CVST", cvst_layout=True)
+        got = convert_convnext_backbone(sd, "T_CVST", cvst_ckpt_layout=True)
+        # robust-ImageNet backbone ckpts lack the per-stage norms
+        _assert_same_structure(template, got,
+                               allow_missing=("norm0", "norm1", "norm2",
+                                              "norm3"))
+
+    def test_pspnet_structure(self):
+        m = models.PSPNet(classes=21)
+        x = jnp.zeros((1, 33, 33, 3))
+        y = jnp.zeros((1, 33, 33), jnp.int32)
+        variables = m.init(jax.random.PRNGKey(0), x, labels=y)
+        template_p = variables["params"]
+        template_s = variables["batch_stats"]
+
+        rng = np.random.default_rng(0)
+        sd = {}
+        shapes = _tree_shapes(template_p)
+        stat_shapes = _tree_shapes(template_s)
+
+        # synthesize the torch layout by inverting the converter's key maps
+        def t_conv(shape):
+            kh, kw, ci, co = shape
+            return rng.normal(size=(co, ci, kh, kw)).astype(np.float32)
+
+        # layer0 stem
+        for (ci, bi, cname, bname) in [(0, 1, "conv1", "bn1"),
+                                       (3, 4, "conv2", "bn2"),
+                                       (6, 7, "conv3", "bn3")]:
+            sd[f"layer0.{ci}.weight"] = t_conv(
+                shapes[f"backbone/{cname}/kernel"])
+            n = shapes[f"backbone/{bname}/bn/scale"][0]
+            sd[f"layer0.{bi}.weight"] = np.ones(n, np.float32)
+            sd[f"layer0.{bi}.bias"] = np.zeros(n, np.float32)
+            sd[f"layer0.{bi}.running_mean"] = np.zeros(n, np.float32)
+            sd[f"layer0.{bi}.running_var"] = np.ones(n, np.float32)
+        for s in range(4):
+            for b in range((3, 4, 6, 3)[s]):
+                src = f"layer{s + 1}.{b}"
+                dst = f"backbone/layer{s + 1}_block{b}"
+                for c in (1, 2, 3):
+                    sd[f"{src}.conv{c}.weight"] = t_conv(
+                        shapes[f"{dst}/conv{c}/kernel"])
+                    n = shapes[f"{dst}/bn{c}/bn/scale"][0]
+                    sd[f"{src}.bn{c}.weight"] = np.ones(n, np.float32)
+                    sd[f"{src}.bn{c}.bias"] = np.zeros(n, np.float32)
+                    sd[f"{src}.bn{c}.running_mean"] = np.zeros(n, np.float32)
+                    sd[f"{src}.bn{c}.running_var"] = np.ones(n, np.float32)
+                if f"{dst}/downsample_conv/kernel" in shapes:
+                    sd[f"{src}.downsample.0.weight"] = t_conv(
+                        shapes[f"{dst}/downsample_conv/kernel"])
+                    n = shapes[f"{dst}/downsample_bn/bn/scale"][0]
+                    sd[f"{src}.downsample.1.weight"] = np.ones(n, np.float32)
+                    sd[f"{src}.downsample.1.bias"] = np.zeros(n, np.float32)
+                    sd[f"{src}.downsample.1.running_mean"] = np.zeros(
+                        n, np.float32)
+                    sd[f"{src}.downsample.1.running_var"] = np.ones(
+                        n, np.float32)
+        for i in range(4):
+            sd[f"ppm.features.{i}.1.weight"] = t_conv(
+                shapes[f"ppm/bin{i}/conv/kernel"])
+            n = shapes[f"ppm/bin{i}/bn/scale"][0]
+            sd[f"ppm.features.{i}.2.weight"] = np.ones(n, np.float32)
+            sd[f"ppm.features.{i}.2.bias"] = np.zeros(n, np.float32)
+            sd[f"ppm.features.{i}.2.running_mean"] = np.zeros(n, np.float32)
+            sd[f"ppm.features.{i}.2.running_var"] = np.ones(n, np.float32)
+        for head, mid in (("cls", 512), ("aux", 256)):
+            sd[f"{head}.0.weight"] = t_conv(
+                shapes[f"{head}/conv/conv/kernel"])
+            sd[f"{head}.1.weight"] = np.ones(mid, np.float32)
+            sd[f"{head}.1.bias"] = np.zeros(mid, np.float32)
+            sd[f"{head}.1.running_mean"] = np.zeros(mid, np.float32)
+            sd[f"{head}.1.running_var"] = np.ones(mid, np.float32)
+            sd[f"{head}.4.weight"] = t_conv(
+                shapes[f"{head}/classifier/kernel"])
+            sd[f"{head}.4.bias"] = np.zeros(21, np.float32)
+
+        got_p, got_s = convert_pspnet(sd)
+        _assert_same_structure(template_p, got_p)
+        _assert_same_structure(template_s, got_s)
+
+    def test_segmenter_structure(self):
+        m = models.create_segmenter("vit_small_patch16_224", n_cls=21,
+                                    image_size=(64, 64))
+        template = m.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 64, 64, 3)))["params"]
+        shapes = _tree_shapes(template)
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def add_lin(src, dst):
+            i, o = shapes[f"{dst}/kernel"]
+            sd[f"{src}.weight"] = rng.normal(size=(o, i)).astype(np.float32)
+            sd[f"{src}.bias"] = np.zeros(o, np.float32)
+
+        def add_ln(src, dst):
+            n = shapes[f"{dst}/scale"][0]
+            sd[f"{src}.weight"] = np.ones(n, np.float32)
+            sd[f"{src}.bias"] = np.zeros(n, np.float32)
+
+        kh, kw, ci, co = shapes["encoder/patch_embed/kernel"]
+        sd["encoder.patch_embed.proj.weight"] = rng.normal(
+            size=(co, ci, kh, kw)).astype(np.float32)
+        sd["encoder.patch_embed.proj.bias"] = np.zeros(co, np.float32)
+        sd["encoder.cls_token"] = np.zeros(shapes["encoder/cls_token"],
+                                           np.float32)
+        sd["encoder.pos_embed"] = np.zeros(shapes["encoder/pos_embed"],
+                                           np.float32)
+        for i in range(12):
+            b = f"encoder.blocks.{i}"
+            d = f"encoder/block{i}"
+            add_ln(f"{b}.norm1", f"{d}/norm1")
+            add_ln(f"{b}.norm2", f"{d}/norm2")
+            add_lin(f"{b}.attn.qkv", f"{d}/attn/qkv")
+            add_lin(f"{b}.attn.proj", f"{d}/attn/proj")
+            add_lin(f"{b}.mlp.fc1", f"{d}/mlp/fc1")
+            add_lin(f"{b}.mlp.fc2", f"{d}/mlp/fc2")
+        add_ln("encoder.norm", "encoder/norm")
+        add_lin("decoder.proj_dec", "decoder/proj_dec")
+        sd["decoder.cls_emb"] = np.zeros(shapes["decoder/cls_emb"],
+                                         np.float32)
+        sd["decoder.proj_patch"] = np.zeros(shapes["decoder/proj_patch"],
+                                            np.float32)
+        sd["decoder.proj_classes"] = np.zeros(
+            shapes["decoder/proj_classes"], np.float32)
+        for i in range(2):
+            b = f"decoder.blocks.{i}"
+            d = f"decoder/block{i}"
+            add_ln(f"{b}.norm1", f"{d}/norm1")
+            add_ln(f"{b}.norm2", f"{d}/norm2")
+            add_lin(f"{b}.attn.qkv", f"{d}/attn/qkv")
+            add_lin(f"{b}.attn.proj", f"{d}/attn/proj")
+            add_lin(f"{b}.mlp.fc1", f"{d}/mlp/fc1")
+            add_lin(f"{b}.mlp.fc2", f"{d}/mlp/fc2")
+        add_ln("decoder.decoder_norm", "decoder/decoder_norm")
+        add_ln("decoder.mask_norm", "decoder/mask_norm")
+
+        got, _ = convert_segmenter(sd, target_grid=(4, 4))
+        _assert_same_structure(template, got)

@@ -1,0 +1,120 @@
+"""Data pipeline tests: transforms vs reference semantics, samplers, datasets."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from robseg_tpu.data import (SyntheticSegmentation, VOCSegmentation,
+                             IterationBasedLoader, ShardedEpochSampler,
+                             simple_eval_loader, get_segmentation_dataset)
+from robseg_tpu.data.transforms import val_sync_transform, train_sync_transform
+
+
+class TestTransforms:
+    def test_val_transform_shapes_and_determinism(self):
+        img = Image.fromarray(
+            (np.random.default_rng(0).random((100, 150, 3)) * 255
+             ).astype(np.uint8))
+        mask = Image.fromarray(
+            np.random.default_rng(1).integers(0, 20, (100, 150)
+                                              ).astype(np.uint8))
+        i1, m1 = val_sync_transform(img, mask, 73)
+        i2, m2 = val_sync_transform(img, mask, 73)
+        assert i1.shape == (73, 73, 3) and m1.shape == (73, 73)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(m1, m2)
+
+    def test_train_transform_crop_and_seeded(self):
+        img = Image.fromarray(
+            (np.random.default_rng(0).random((90, 120, 3)) * 255
+             ).astype(np.uint8))
+        mask = Image.fromarray(
+            np.random.default_rng(1).integers(0, 20, (90, 120)
+                                              ).astype(np.uint8))
+        r1 = random.Random(7)
+        i1, m1 = train_sync_transform(img, mask, base_size=100, crop_size=64,
+                                      rng=r1)
+        r2 = random.Random(7)
+        i2, m2 = train_sync_transform(img, mask, base_size=100, crop_size=64,
+                                      rng=r2)
+        assert i1.shape == (64, 64, 3) and m1.shape == (64, 64)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(m1, m2)
+
+
+class TestVOC(object):
+    def _make_fake_voc(self, tmp_path):
+        root = tmp_path / "voc"
+        base = root / "VOCdevkit/VOC2012"
+        (base / "JPEGImages").mkdir(parents=True)
+        (base / "SegmentationClass").mkdir(parents=True)
+        (base / "ImageSets/Segmentation").mkdir(parents=True)
+        names = []
+        for i in range(3):
+            name = f"img{i:04d}"
+            arr = (np.random.default_rng(i).random((80, 100, 3)) * 255
+                   ).astype(np.uint8)
+            Image.fromarray(arr).save(base / "JPEGImages" / f"{name}.jpg")
+            m = np.random.default_rng(100 + i).integers(
+                0, 21, (80, 100)).astype(np.uint8)
+            m[0, 0] = 255  # void pixel
+            Image.fromarray(m).save(
+                base / "SegmentationClass" / f"{name}.png")
+            names.append(name)
+        with open(base / "ImageSets/Segmentation/val.txt", "w") as f:
+            f.write("\n".join(names) + "\n")
+        return str(root)
+
+    def test_voc_val_loads_and_folds_255(self, tmp_path):
+        root = self._make_fake_voc(tmp_path)
+        ds = VOCSegmentation(root, split="val", mode="val",
+                             base_size=512, crop_size=64)
+        img, mask = ds[0]
+        assert img.shape == (64, 64, 3) and img.dtype == np.float32
+        assert img.min() >= 0 and img.max() <= 1
+        assert mask.dtype == np.int32
+        assert mask.max() < 21 and mask.min() >= 0  # 255 folded to 0
+
+    def test_registry(self, tmp_path):
+        root = self._make_fake_voc(tmp_path)
+        ds = get_segmentation_dataset("pascalvoc", root=root, split="val",
+                                      mode="val", crop_size=64)
+        assert len(ds) == 3
+
+
+class TestSampler:
+    def test_shards_partition_and_pad(self):
+        s = ShardedEpochSampler(10, 4, shuffle=True, seed=0)
+        shards = [s.shard_indices(epoch=0, shard=i) for i in range(4)]
+        assert all(len(sh) == 3 for sh in shards)  # ceil(10/4)
+        allv = np.concatenate(shards)
+        assert len(allv) == 12
+        assert set(allv.tolist()) == set(range(10))  # wrap-padded
+
+    def test_epoch_changes_order(self):
+        s = ShardedEpochSampler(16, 2, shuffle=True, seed=0)
+        a = s.shard_indices(0, 0)
+        b = s.shard_indices(1, 0)
+        assert not np.array_equal(a, b)
+
+    def test_iteration_loader_counts(self):
+        ds = SyntheticSegmentation(num_classes=5, length=6,
+                                   image_hw=(32, 32), mode="val",
+                                   crop_size=32)
+        loader = IterationBasedLoader(ds, num_shards=2, batch_per_shard=1,
+                                      max_iters=7)
+        batches = list(loader)
+        assert len(batches) == 7
+        imgs, masks = batches[0]
+        assert imgs.shape == (2, 32, 32, 3)
+        assert masks.shape == (2, 32, 32)
+
+    def test_eval_loader(self):
+        ds = SyntheticSegmentation(num_classes=5, length=5,
+                                   image_hw=(32, 32), mode="val",
+                                   crop_size=32)
+        batches = list(simple_eval_loader(ds, 2))
+        assert [b[0].shape[0] for b in batches] == [2, 2, 1]

@@ -1,0 +1,135 @@
+"""SEA evaluation CLI.
+
+Parity target: ``tools/infer.py`` of the reference — config-driven model
+build + checkpoint load, clean eval, the 3-attack SEA at ``--n_iter`` APGD
+iterations per loss, per-attack stats, and the worst-case aggregation
+(aAcc + greedy mIoU search), all written to ``SAVE_DIR``.
+
+Usage:
+    python -m tools.infer --cfg configs/pascalvoc_convnext.yaml --eps 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from robseg_tpu import models
+from robseg_tpu.attacks.sea import run_sea
+from robseg_tpu.config import (load_config, dataset_eval_geometry,
+                               model_display_name)
+from robseg_tpu.data import get_segmentation_dataset, simple_eval_loader
+from robseg_tpu.train.checkpoint import load_params_npz
+from robseg_tpu.utils import Logger, class_balance_weights, fix_seeds
+
+SEED = 225  # parity: tools/infer.py:25
+
+
+def build_eval_model(cfg, n_cls: int, crop_size):
+    model_cfg = cfg["MODEL"]
+    eval_cfg = cfg["EVAL"]
+    backbone = eval_cfg.get("BACKBONE", model_cfg.get("BACKBONE"))
+    module = models.build_model(model_cfg["NAME"], backbone, n_cls,
+                                image_size=crop_size)
+    return module
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", type=str, required=True)
+    parser.add_argument("--eps", type=float, default=8.0)
+    parser.add_argument("--n_iter", type=int, default=300)
+    parser.add_argument("--n_batches", type=int, default=-1)
+    parser.add_argument("--adversarial", action="store_true", default=True)
+    parser.add_argument("--no-adversarial", dest="adversarial",
+                        action="store_false")
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help=".npz params checkpoint (overrides EVAL.MODEL_PATH)")
+    args = parser.parse_args()
+
+    cfg = load_config(args.cfg)
+    dataset_cfg, test_cfg = cfg["DATASET"], cfg["EVAL"]
+    n_cls = test_cfg["N_CLS"]
+    base_size, crop_size = dataset_eval_geometry(test_cfg["NAME"])
+
+    fix_seeds(SEED)
+    module = build_eval_model(cfg, n_cls, crop_size)
+
+    dummy = jnp.zeros((1,) + tuple(crop_size) + (3,), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), dummy)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    ckpt_path = args.ckpt or test_cfg.get("MODEL_PATH")
+    if ckpt_path and os.path.exists(str(ckpt_path)):
+        if str(ckpt_path).endswith(".npz"):
+            params = load_params_npz(ckpt_path, params)
+        else:
+            import torch
+            from robseg_tpu.convert import (convert_upernet, convert_pspnet,
+                                            convert_segmenter)
+            sd = {k: v.numpy() for k, v in
+                  torch.load(ckpt_path, map_location="cpu").items()}
+            name = cfg["MODEL"]["NAME"]
+            if name == "UperNetForSemanticSegmentation":
+                variant = test_cfg["BACKBONE"].split("-")[1]
+                params, batch_stats = convert_upernet(sd, variant)
+            elif name == "PSPNet":
+                params, batch_stats = convert_pspnet(sd)
+            else:
+                params, batch_stats = convert_segmenter(sd)
+    else:
+        print(f"WARNING: no checkpoint at {ckpt_path!r}; "
+              "evaluating random init")
+
+    v = {"params": params}
+    if batch_stats:
+        v["batch_stats"] = batch_stats
+    logits_fn = lambda x: module.apply(v, x)  # noqa: E731
+
+    ds = get_segmentation_dataset(
+        test_cfg["NAME"], root=dataset_cfg["ROOT"], split="val", mode="val",
+        base_size=base_size, crop_size=crop_size)
+    bs = test_cfg.get("BATCH_SIZE", 4)
+    make_loader = lambda: simple_eval_loader(ds, bs, args.n_batches)  # noqa
+
+    weights = class_balance_weights(test_cfg["NAME"])
+    save_dir = str(cfg.get("SAVE_DIR", "./outputs"))
+    os.makedirs(save_dir, exist_ok=True)
+    logger = Logger(os.path.join(save_dir, "sea_eval_log.txt"))
+
+    modelname = model_display_name(cfg["MODEL"]["NAME"],
+                                   test_cfg.get("BACKBONE", ""))
+    logger.log(f"Model > {modelname}; Dataset > {test_cfg['NAME']}; "
+               f"eps = {args.eps}/255, n_iter = {args.n_iter}")
+
+    if not args.adversarial:
+        from robseg_tpu.attacks.sea import eval_performance
+        stats, _ = eval_performance(logits_fn, make_loader(),
+                                    num_classes=n_cls,
+                                    n_batches=args.n_batches)
+        logger.log(f"Clean performance: {stats.as_dict()}")
+        return
+
+    results = run_sea(logits_fn, make_loader, num_classes=n_cls,
+                      eps=args.eps / 255.0, n_iter=args.n_iter,
+                      weights=weights, n_batches=args.n_batches,
+                      seed=SEED, verbose=True)
+    logger.log(json.dumps(results, indent=2, default=float))
+    out_path = os.path.join(
+        save_dir, f"worse_SEA_{modelname}_{test_cfg['NAME']}_{args.eps}.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    logger.log(f"SEA statistics at: {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""PIR-AT training CLI (data-parallel over a JAX mesh).
+
+Parity target: ``tools/train_rob_seg.py``: config-driven model/optimizer/
+scheduler selection, iteration-based adversarial training, periodic eval +
+checkpointing with best-mIoU tracking, final best-checkpoint eval.
+
+Replaces ``torch.multiprocessing.spawn`` + NCCL DDP with one process
+driving a ``shard_map`` train step over every visible device; multi-host
+pods use ``jax.distributed.initialize`` (flag ``--multihost``).
+
+Usage:
+    python -m tools.train --cfg configs/pascalvoc_convnext.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from robseg_tpu import models
+from robseg_tpu.config import TrainSettings, load_config
+from robseg_tpu.data import get_segmentation_dataset, IterationBasedLoader, \
+    simple_eval_loader
+from robseg_tpu.parallel import make_data_mesh, replicate, shard_batch
+from robseg_tpu.train import (AttackConfig, CheckpointManager, TrainState,
+                              get_scheduler, make_eval_step, make_optimizer,
+                              make_train_step, metrics_from_hist,
+                              save_params_npz)
+from robseg_tpu.train.optim import pspnet_lr_scales
+from robseg_tpu.train.schedules import polynomial_lr_timm, poly_lr
+from robseg_tpu.utils import Logger
+
+
+def build_optimizer(cfg, model_name, params, max_iters, iters_per_epoch):
+    """Per-model-family optimizer/scheduler selection.
+
+    Parity: ``train_rob_seg.py:174-224`` — Segmenter: timm SGD + polynomial
+    (``optim_args_segmenter``); PSPNet: SGD + raw poly with new-module lr
+    x10; UperNet: AdamW/SGD + config scheduler.
+    """
+    opt_cfg, sched_cfg = cfg["OPTIMIZER"], cfg["SCHEDULER"]
+    lr = float(opt_cfg["LR"])
+    wd = float(opt_cfg.get("WEIGHT_DECAY", 0.01))
+    if model_name == "SegMenter":
+        sched = polynomial_lr_timm(1e-3, max_iters, power=0.9,
+                                   iter_warmup=0, min_lr=1e-5)
+        return make_optimizer("sgd", params, sched, weight_decay=1e-5), sched
+    if model_name == "PSPNet":
+        sched = poly_lr(lr, max_iters, power=0.9)
+        scales = pspnet_lr_scales(params)
+        return make_optimizer("sgd", params, sched, weight_decay=wd,
+                              lr_scales=scales), sched
+    sched = get_scheduler(
+        sched_cfg["NAME"], lr, max_iters, sched_cfg.get("POWER", 0.9),
+        iters_per_epoch * sched_cfg.get("WARMUP", 5),
+        sched_cfg.get("WARMUP_RATIO", 1e-5))
+    return make_optimizer(opt_cfg.get("NAME", "AdamW"), params, sched,
+                          weight_decay=wd), sched
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg", type=str, required=True)
+    parser.add_argument("--max_iters", type=int, default=None,
+                        help="override EPOCHS-derived iteration count")
+    parser.add_argument("--multihost", action="store_true")
+    parser.add_argument("--resume", action="store_true")
+    args = parser.parse_args()
+
+    if args.multihost:
+        jax.distributed.initialize()
+
+    cfg = load_config(args.cfg)
+    t = TrainSettings.from_cfg(cfg["TRAIN"])
+    dataset_cfg, model_cfg = cfg["DATASET"], cfg["MODEL"]
+    n_cls = dataset_cfg["N_CLS"]
+    model_name = model_cfg["NAME"]
+
+    mesh = make_data_mesh()
+    n_dev = mesh.devices.size
+    assert t.batch_size % n_dev == 0 or t.batch_size >= n_dev, (
+        f"global batch {t.batch_size} vs {n_dev} devices")
+    per_dev = max(t.batch_size // n_dev, 1)
+
+    save_dir = str(cfg.get("SAVE_DIR", "./outputs"))
+    stamp = str(datetime.datetime.now())[:-7].replace(" ", "-").replace(
+        ":", "_")
+    save_path = os.path.join(
+        save_dir, str(dataset_cfg["NAME"]),
+        f"{model_name}_{model_cfg.get('BACKBONE', '')}"
+        f"_adv_{t.adversarial}_{stamp}_{t.attack}_{t.loss_fn}"
+        f"{cfg.get('ADDENDUM', '')}")
+    os.makedirs(save_path, exist_ok=True)
+    logger = Logger(os.path.join(save_path, "train_log"))
+    logger.log(str(cfg))
+
+    module = models.build_model(model_name, model_cfg.get("BACKBONE", ""),
+                                n_cls, image_size=t.image_size)
+
+    train_ds = get_segmentation_dataset(
+        dataset_cfg["NAME"], root=dataset_cfg["ROOT"], split="train",
+        mode="train", base_size=t.base_size, crop_size=t.image_size,
+        seed=dataset_cfg.get("SEED", 0))
+    eval_cfg = cfg["EVAL"]
+    val_ds = get_segmentation_dataset(
+        dataset_cfg["NAME"], root=dataset_cfg["ROOT"], split="val",
+        mode="val", base_size=eval_cfg.get("BASE_SIZE", t.base_size),
+        crop_size=eval_cfg.get("IMAGE_SIZE", t.image_size))
+
+    iters_per_epoch = len(train_ds) // t.batch_size
+    max_iters = args.max_iters or t.epochs * iters_per_epoch
+    logger.log(f"devices={n_dev} per_dev_batch={per_dev} "
+               f"iters/epoch={iters_per_epoch} max_iters={max_iters}")
+
+    dummy_x = jnp.zeros((1,) + tuple(t.image_size) + (3,), jnp.float32)
+    dummy_y = jnp.zeros((1,) + tuple(t.image_size), jnp.int32)
+    variables = module.init(jax.random.PRNGKey(dataset_cfg.get("SEED", 0)),
+                            dummy_x, labels=dummy_y)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    pretrained = model_cfg.get("PRETRAINED")
+    if pretrained and os.path.exists(str(pretrained)):
+        # PIR init: robust-ImageNet backbone (convnext_orig.py:258-307)
+        import torch
+        from robseg_tpu.convert import (strip_prefixes,
+                                        convert_convnext_backbone)
+        sd = strip_prefixes({
+            k: v.numpy() for k, v in
+            torch.load(pretrained, map_location="cpu").items()})
+        if model_name == "UperNetForSemanticSegmentation":
+            variant = model_cfg["BACKBONE"].split("-")[1]
+            bb = convert_convnext_backbone(sd, variant,
+                                           cvst_ckpt_layout=True)
+            merged = dict(params)
+            merged["backbone"] = {**params["backbone"], **bb}
+            params = merged
+            logger.log(f"PIR init: loaded robust backbone from {pretrained}")
+
+    tx, sched = build_optimizer(cfg, model_name, params, max_iters,
+                                iters_per_epoch)
+    state = TrainState(step=jnp.asarray(0), params=params,
+                       batch_stats=batch_stats, opt_state=tx.init(params),
+                       rng=jax.random.PRNGKey(dataset_cfg.get("SEED", 0)))
+
+    ckpt_mgr = CheckpointManager(os.path.join(save_path, "ckpts"))
+    if args.resume:
+        restored = ckpt_mgr.restore(state)
+        if restored is not None:
+            state = restored
+            logger.log(f"Resumed from step {int(state.step)}")
+
+    attack = AttackConfig(
+        enabled=t.adversarial, name=t.attack, loss_fn=t.loss_fn,
+        eps=t.eps / 255.0, n_iters=t.n_iters)
+    train_step = make_train_step(module, model_name, tx, mesh, attack)
+    eval_step = make_eval_step(module, n_cls, mesh)
+
+    state = replicate(mesh, state)
+    loader = IterationBasedLoader(
+        train_ds, num_shards=n_dev, batch_per_shard=per_dev,
+        max_iters=max_iters, seed=dataset_cfg.get("SEED", 0),
+        start_iter=int(jax.device_get(state.step)))
+
+    def run_eval(state, n_batches=20):
+        hist = replicate(mesh, jnp.zeros((n_cls, n_cls), jnp.float32))
+        count = 0
+        for x, y in simple_eval_loader(val_ds, n_dev, n_batches):
+            if x.shape[0] != n_dev:
+                break  # sharded eval needs full batches; tail dropped
+            bx, by = shard_batch(mesh, (x, y))
+            hist = eval_step(state.params, state.batch_stats, bx, by, hist)
+            count += 1
+        return metrics_from_hist(jax.device_get(hist))
+
+    best_miou = 0.0
+    t0 = time.time()
+    train_loss, seen = 0.0, 0
+    log_every = max(iters_per_epoch // 2, 1)
+    eval_freq = 20  # parity: train_rob_seg.py:387
+
+    for it, (imgs, lbls) in enumerate(loader, start=int(
+            jax.device_get(state.step))):
+        bx, by = shard_batch(mesh, (imgs.astype(np.float32),
+                                    lbls.astype(np.int32)))
+        state, metrics = train_step(state, bx, by)
+        train_loss += float(jax.device_get(metrics["loss"]))
+        seen += 1
+
+        if (it + 1) % log_every == 0:
+            eta = (time.time() - t0) / (seen) * (max_iters - it)
+            logger.log(
+                "Epoch: {:d}/{:d} | Iters: {:d}/{:d} || Lr: {:.6f} || "
+                "Loss: {:.7f} || ETA: {}".format(
+                    it // iters_per_epoch + 1, t.epochs, it, max_iters,
+                    float(sched(it)), train_loss / max(seen, 1),
+                    str(datetime.timedelta(seconds=int(eta)))))
+            train_loss, seen = 0.0, seen
+
+        if (it + 1) % (iters_per_epoch * eval_freq) == 0:
+            m = run_eval(state)
+            logger.log(f"Epoch [{it // iters_per_epoch + 1}] val "
+                       f"mIoU={m['mIoU']:.4f} aAcc={m['aAcc']:.4f}")
+            host_state = jax.device_get(state)
+            ckpt_mgr.save(int(host_state.step), host_state,
+                          metrics={"mIoU": m["mIoU"]})
+            if m["mIoU"] > best_miou:
+                best_miou = m["mIoU"]
+                save_params_npz(os.path.join(save_path, "best_model.npz"),
+                                host_state.params)
+
+    host_state = jax.device_get(state)
+    ckpt_mgr.save(int(host_state.step), host_state)
+    save_params_npz(os.path.join(save_path, "final_model.npz"),
+                    host_state.params)
+    m = run_eval(state, n_batches=-1)
+    logger.log(f"Final: mIoU={m['mIoU']:.4f} aAcc={m['aAcc']:.4f} "
+               f"best mIoU={best_miou:.4f} "
+               f"time={str(datetime.timedelta(seconds=int(time.time() - t0)))}")
+    ckpt_mgr.close()
+
+
+if __name__ == "__main__":
+    main()
