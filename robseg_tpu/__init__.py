@@ -23,4 +23,29 @@ Design notes (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _setup_compilation_cache():
+    """Persistent XLA compilation cache (set ROBSEG_NO_CACHE=1 to skip).
+
+    TPU compiles through remote tunnels can take minutes; caching makes
+    repeat runs (benchmarks, eval sweeps, resumed training) start hot.
+    """
+    if _os.environ.get("ROBSEG_NO_CACHE"):
+        return
+    try:
+        import jax
+        cache_dir = _os.environ.get(
+            "ROBSEG_CACHE_DIR",
+            _os.path.expanduser("~/.cache/robseg_tpu_xla"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is best-effort
+        pass
+
+
+_setup_compilation_cache()
+
 from robseg_tpu import ops  # noqa: F401

@@ -88,6 +88,7 @@ def apgd_attack(logits_fn: Callable, x: Array, y: Array, *,
                 is_train: bool = False, ignore_index: int = -1,
                 weights: Optional[Array] = None, rng: Optional[Array] = None,
                 x_init: Optional[Array] = None,
+                y_target: Optional[Array] = None,
                 n_iter_buf: Optional[int] = None) -> APGDResult:
     """One APGD run; parity ``apgd_train`` (``semseg/attacker.py:260-571``).
 
@@ -126,7 +127,7 @@ def apgd_attack(logits_fn: Callable, x: Array, y: Array, *,
     return _apgd_core(
         logits_fn, x, y, x_init, jnp.asarray(use_init),
         jnp.asarray(eps, jnp.float32), ctrl_arr,
-        weights if weights is not None else None, rng,
+        weights if weights is not None else None, rng, y_target,
         norm=norm, use_rs=use_rs, loss=loss,
         track_loss=track_loss, early_stop=early_stop, is_train=is_train,
         ignore_index=ignore_index, n_iter_buf=int(n_iter_buf))
@@ -137,7 +138,7 @@ def apgd_attack(logits_fn: Callable, x: Array, y: Array, *,
     static_argnames=("logits_fn", "norm", "use_rs", "loss", "track_loss",
                      "early_stop", "is_train", "ignore_index", "n_iter_buf"))
 def _apgd_core(logits_fn: Callable, x: Array, y: Array, x_init: Array,
-               use_init: Array, eps: Array, ctrl, weights, rng, *,
+               use_init: Array, eps: Array, ctrl, weights, rng, y_target, *,
                norm: str, use_rs: bool, loss: str,
                track_loss: Optional[str], early_stop: bool, is_train: bool,
                ignore_index: int, n_iter_buf: int) -> APGDResult:
@@ -175,10 +176,12 @@ def _apgd_core(logits_fn: Callable, x: Array, y: Array, x_init: Array,
     size_decr = ctrl["size_decr"]
     k0 = ctrl["k0"]
 
+    y_loss = y_target if y_target is not None else y
+
     def loss_grad(xa):
         def f(z):
             logits = logits_fn(z)
-            li = criterion(logits, y, weights)
+            li = criterion(logits, y_loss, weights)
             return pixel_to_img_loss(li, mask_background).sum(), logits
         (_, logits), grad = jax.value_and_grad(f, has_aux=True)(xa)
         track_i = pixel_to_img_loss(track_fn(logits, y, None),
@@ -377,6 +380,7 @@ def apgd_restarts(logits_fn: Callable, x: Array, y: Array, *,
                   n_iter: int = 10, loss: str = "ce", n_restarts: int = 1,
                   early_stop: bool = False, track_loss: Optional[str] = None,
                   use_rs: bool = False, ignore_index: int = -1,
+                  n_target_classes: int = 21,
                   rng: Optional[Array] = None):
     """APGD with restarts, keeping per-image best (lowest accuracy) points.
 
@@ -385,18 +389,36 @@ def apgd_restarts(logits_fn: Callable, x: Array, y: Array, *,
     full (static-shape) batch and masking the merge is equivalent — except
     that batch-level early stopping may run more steps here (results
     identical, best-point tracking is monotone).
+
+    ``loss`` containing "targeted" cycles target classes across restarts
+    like ``attacker.py:607-620``: restart i targets each pixel's
+    (i % n_target_classes + 1)-th most probable clean class (the upstream
+    targeted branch is broken — its loss names are not in criterion_dict —
+    so this is the working per-pixel analogue).
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
     acc = jnp.ones((x.shape[0],), jnp.float32)
     x_adv = x
     ndims = x.ndim - 1
-    for _ in range(n_restarts):
+    targeted = "targeted" in loss
+    if targeted:
+        clean_sorted = jnp.argsort(logits_fn(x), axis=-1)  # ascending
+        n_cls = clean_sorted.shape[-1]
+    for i in range(n_restarts):
+        y_target = None
+        if targeted:
+            target_cls = i % n_target_classes + 1
+            y_target = clean_sorted[..., n_cls - target_cls]
+            collide = y_target == y
+            alt = clean_sorted[..., max(n_cls - target_cls - 1, 0)]
+            y_target = jnp.where(collide, alt, y_target)
         rng, sub = jax.random.split(rng)
         res = apgd_attack(
             logits_fn, x, y, norm=norm, eps=eps, n_iter=n_iter,
             use_rs=use_rs, loss=loss, track_loss=track_loss,
-            early_stop=early_stop, ignore_index=ignore_index, rng=sub)
+            early_stop=early_stop, ignore_index=ignore_index, rng=sub,
+            y_target=y_target)
         logits = logits_fn(res.x_best_adv)
         acc_curr = _per_image_acc(logits, y, ignore_index,
                                   count_ignored_correct=True)

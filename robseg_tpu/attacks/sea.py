@@ -16,6 +16,7 @@ computed on device.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, Dict, Iterable, List, Optional, Sequence
 
@@ -58,29 +59,54 @@ class EvalStats:
         return {"mAcc": self.m_acc, "aAcc": self.a_acc, "mIoU": self.m_iou}
 
 
+def _pad_batch(x: np.ndarray, y: np.ndarray, bs: int):
+    """Pad a trailing partial batch to the full (static) batch size.
+
+    Padded rows get label = ignore everywhere, so they contribute nothing
+    to metrics; callers slice predictions back to ``n_real``. Avoids a
+    fresh XLA compile for the odd-sized last batch.
+    """
+    n_real = x.shape[0]
+    if n_real == bs:
+        return x, y, n_real
+    reps = bs - n_real
+    x = np.concatenate([x, np.repeat(x[-1:], reps, axis=0)])
+    y = np.concatenate([y, np.full((reps,) + y.shape[1:], -1, y.dtype)])
+    return x, y, n_real
+
+
+@functools.partial(jax.jit, static_argnames=("logits_fn", "num_classes",
+                                             "ignore_label"))
+def _eval_step(logits_fn, x, y, h, *, num_classes, ignore_label):
+    pred = jnp.argmax(logits_fn(x), axis=-1).astype(jnp.int32)
+    pred = jnp.where(y == ignore_label, ignore_label, pred)
+    h = h + confusion_matrix(pred, y, num_classes=num_classes,
+                             ignore_label=ignore_label)
+    return pred, h
+
+
 def eval_performance(logits_fn: Callable, batches: Iterable, *,
                      num_classes: int, ignore_label: int = -1,
-                     n_batches: int = -1):
+                     n_batches: int = -1, batch_size: Optional[int] = None):
     """Clean/adv evaluation returning stats + ignore-masked argmax preds.
 
     Parity: ``tools/infer.py:56-133`` (running confusion-matrix metrics;
     predictions at ignored pixels are overwritten with the ignore label
-    before being stored).
+    before being stored). The jitted step is cached across calls (same
+    ``logits_fn`` => one compile for the whole SEA run).
     """
     hist = jnp.zeros((num_classes, num_classes), jnp.float32)
     preds_out: List[np.ndarray] = []
 
-    @jax.jit
-    def step(x, y, h):
-        pred = jnp.argmax(logits_fn(x), axis=-1).astype(jnp.int32)
-        pred = jnp.where(y == ignore_label, ignore_label, pred)
-        h = h + confusion_matrix(pred, y, num_classes=num_classes,
-                                 ignore_label=ignore_label)
-        return pred, h
-
     for i, (x, y) in enumerate(batches):
-        pred, hist = step(jnp.asarray(x), jnp.asarray(y), hist)
-        preds_out.append(np.asarray(pred))
+        x, y = np.asarray(x), np.asarray(y)
+        if batch_size is None:
+            batch_size = x.shape[0]
+        x, y, n_real = _pad_batch(x, y, batch_size)
+        pred, hist = _eval_step(logits_fn, jnp.asarray(x), jnp.asarray(y),
+                                hist, num_classes=num_classes,
+                                ignore_label=ignore_label)
+        preds_out.append(np.asarray(pred[:n_real]))
         if i + 1 == n_batches:
             break
     _, macc, aacc = pixel_acc_from_hist(hist)
@@ -105,16 +131,22 @@ def run_attack_over_loader(logits_fn: Callable, batches: Iterable, *,
     w = jnp.asarray(weights) if weights is not None else None
     rng = jax.random.PRNGKey(seed)
     out = []
+    batch_size = None
     for i, (x, y) in enumerate(batches):
+        x, y = np.asarray(x), np.asarray(y)
+        if batch_size is None:
+            batch_size = x.shape[0]
+        x_p, y_p, n_real = _pad_batch(x, y, batch_size)
         rng, sub = jax.random.split(rng)
         x_adv, _, _ = apgd_largereps(
-            logits_fn, jnp.asarray(x), jnp.asarray(y), weights=w, norm=norm,
-            eps=eps, n_iter=n_iter, loss=loss, early_stop=early_stop,
-            track_loss=track_loss, use_rs=use_rs, rng=sub)
-        x_adv = np.asarray(x_adv)
+            logits_fn, jnp.asarray(x_p), jnp.asarray(y_p), weights=w,
+            norm=norm, eps=eps, n_iter=n_iter, loss=loss,
+            early_stop=early_stop, track_loss=track_loss, use_rs=use_rs,
+            rng=sub)
+        x_adv = np.asarray(x_adv)[:n_real]
         if verbose:
-            print(f"batch {i}: {check_imgs(x_adv, np.asarray(x), norm)}")
-        out.append((x_adv, np.asarray(y)))
+            print(f"batch {i}: {check_imgs(x_adv, x, norm)}")
+        out.append((x_adv, y))
         if i + 1 == n_batches:
             break
     return out
@@ -143,8 +175,8 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
         t0 = time.time()
         adv_batches = run_attack_over_loader(
             logits_fn, make_loader(), loss=loss, eps=eps, n_iter=n_iter,
-            weights=weights if loss == "mask-ce-bal" else weights,
-            n_batches=n_batches, seed=seed + li, verbose=verbose)
+            weights=weights, n_batches=n_batches, seed=seed + li,
+            verbose=verbose)
         stats, preds = eval_performance(
             logits_fn, adv_batches, num_classes=num_classes,
             n_batches=n_batches)

@@ -55,7 +55,8 @@ class SegmentationDatasetBase:
     def __getitem__(self, index: int):
         img, mask = self._load(index)
         if self.mode == "train":
-            rng = random.Random((self.seed, self.epoch, index))
+            # tuple-of-ints hash is deterministic across processes
+            rng = random.Random(hash((self.seed, self.epoch, index)))
             img_a, mask_a = train_sync_transform(
                 img, mask, base_size=self.base_size,
                 crop_size=self.crop_size, rng=rng)

@@ -159,6 +159,25 @@ def pixel_to_img_loss(loss: Array, mask_background: Optional[Array] = None
     return loss.reshape(loss.shape[0], -1).mean(-1)
 
 
+def dlr_loss_targeted(logits: Array, target: Array, y_target: Array) -> Array:
+    """Targeted DLR over the class axis; parity ``attacker.py:134-140``."""
+    x_sorted = jnp.sort(logits, axis=-1)
+    zy = _gather_class(logits, target)
+    zt = _gather_class(logits, y_target)
+    return -(zy - zt) / (x_sorted[..., -1]
+                         - 0.5 * (x_sorted[..., -3] + x_sorted[..., -4])
+                         + 1e-12)
+
+
+def targeted_cross_entropy(logits: Array, y_target: Array,
+                           weights: Optional[Array] = None,
+                           ignore_index: int = -1) -> Array:
+    """-CE toward the target class: maximizing it pushes pixels to the
+    target (the working form of the reference's broken targeted branch,
+    ``attacker.py:600-620`` — its loss names are not in criterion_dict)."""
+    return -cross_entropy_pixelwise(logits, y_target, weights, ignore_index)
+
+
 # Registry parity: ``semseg/attacker.py:251-257``. Every entry maps
 # (logits, target, weights) -> per-pixel loss (B, H, W).
 ATTACK_CRITERIA = {
@@ -167,6 +186,7 @@ ATTACK_CRITERIA = {
     "mask-ce-avg": masked_cross_entropy,
     "mask-ce-bal": masked_cross_entropy_balanced,
     "js-avg": js_loss,
+    "ce-targeted": targeted_cross_entropy,
 }
 
 

@@ -56,13 +56,33 @@ def _hist_matmul(pred: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray,
     return hist
 
 
+def _use_pallas_kernels() -> bool:
+    import os
+    flag = os.environ.get("ROBSEG_PALLAS", "auto")
+    if flag in ("0", "off", "false"):
+        return False
+    if flag in ("1", "on", "true"):
+        return True
+    # auto currently resolves to the XLA fallback; flip to backend sniffing
+    # once the kernel is burn-tested on real hardware
+    return False
+
+
 @functools.partial(jax.jit, static_argnames=("num_classes", "ignore_label"))
 def confusion_matrix(pred: jnp.ndarray, target: jnp.ndarray, *,
                      num_classes: int, ignore_label: int = -1) -> jnp.ndarray:
     """K x K confusion matrix ``hist[true, pred]`` (float32 counts).
 
     Parity: ``semseg/metrics.py:27-33`` (bincount-based ``Metrics.update``).
+    On TPU the Pallas kernel (``robseg_tpu/kernels/confusion.py``) keeps
+    the one-hot intermediates in VMEM; elsewhere the chunked XLA matmul
+    fallback runs.
     """
+    if _use_pallas_kernels():
+        from robseg_tpu.kernels.confusion import confusion_matrix_pallas
+        return confusion_matrix_pallas(pred, target,
+                                       num_classes=num_classes,
+                                       ignore_label=ignore_label)
     valid = target != ignore_label
     return _hist_matmul(pred, target, valid, num_classes)
 

@@ -45,7 +45,9 @@ def build_eval_model(cfg, n_cls: int, crop_size):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", type=str, required=True)
-    parser.add_argument("--eps", type=float, default=8.0)
+    parser.add_argument("--eps", type=str, default="8",
+                        help="epsilon in /255 units; comma list for a "
+                             "multi-eps sweep (e.g. '4,8')")
     parser.add_argument("--n_iter", type=int, default=300)
     parser.add_argument("--n_batches", type=int, default=-1)
     parser.add_argument("--adversarial", action="store_true", default=True)
@@ -108,8 +110,9 @@ def main():
 
     modelname = model_display_name(cfg["MODEL"]["NAME"],
                                    test_cfg.get("BACKBONE", ""))
+    eps_list = [float(e) for e in str(args.eps).split(",")]
     logger.log(f"Model > {modelname}; Dataset > {test_cfg['NAME']}; "
-               f"eps = {args.eps}/255, n_iter = {args.n_iter}")
+               f"eps sweep = {eps_list} (/255), n_iter = {args.n_iter}")
 
     if not args.adversarial:
         from robseg_tpu.attacks.sea import eval_performance
@@ -119,16 +122,33 @@ def main():
         logger.log(f"Clean performance: {stats.as_dict()}")
         return
 
-    results = run_sea(logits_fn, make_loader, num_classes=n_cls,
-                      eps=args.eps / 255.0, n_iter=args.n_iter,
-                      weights=weights, n_batches=args.n_batches,
-                      seed=SEED, verbose=True)
-    logger.log(json.dumps(results, indent=2, default=float))
-    out_path = os.path.join(
-        save_dir, f"worse_SEA_{modelname}_{test_cfg['NAME']}_{args.eps}.json")
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=2, default=float)
-    logger.log(f"SEA statistics at: {out_path}")
+    stats_dir = os.path.join(save_dir, "sea-stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    for eps in eps_list:
+        results = run_sea(logits_fn, make_loader, num_classes=n_cls,
+                          eps=eps / 255.0, n_iter=args.n_iter,
+                          weights=weights, n_batches=args.n_batches,
+                          seed=SEED, verbose=True)
+        logger.log(json.dumps(results, indent=2, default=float))
+        # per-attack text reports; parity: writeIndivloss
+        # (semseg/utils/utils.py:236-245)
+        from robseg_tpu.attacks.sea import SEA_LOSSES
+        for loss_name, st in zip(SEA_LOSSES, results["loss-wise_stats"]):
+            with open(os.path.join(
+                    stats_dir,
+                    f"loss_wise_{modelname}_{loss_name}_N_{eps}.txt"),
+                    "a+") as f:
+                f.write(f"{modelname}\n")
+                f.write(f"Clean stats: {results['clean']}\n")
+                f.write(f"----- Linf radius: {eps} ------")
+                f.write(f"Attack: {loss_name}\n")
+                f.write(f"Adversarial results: {st}\n")
+        out_path = os.path.join(
+            save_dir,
+            f"worse_SEA_{modelname}_{test_cfg['NAME']}_{eps}.json")
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2, default=float)
+        logger.log(f"SEA statistics at: {out_path}")
 
 
 if __name__ == "__main__":

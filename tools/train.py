@@ -74,6 +74,10 @@ def main():
                         help="override EPOCHS-derived iteration count")
     parser.add_argument("--multihost", action="store_true")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--run_dir", type=str, default=None,
+                        help="reuse this run directory (required for "
+                             "--resume to find earlier checkpoints; "
+                             "default is a fresh timestamped dir)")
     args = parser.parse_args()
 
     if args.multihost:
@@ -92,13 +96,16 @@ def main():
     per_dev = max(t.batch_size // n_dev, 1)
 
     save_dir = str(cfg.get("SAVE_DIR", "./outputs"))
-    stamp = str(datetime.datetime.now())[:-7].replace(" ", "-").replace(
-        ":", "_")
-    save_path = os.path.join(
-        save_dir, str(dataset_cfg["NAME"]),
-        f"{model_name}_{model_cfg.get('BACKBONE', '')}"
-        f"_adv_{t.adversarial}_{stamp}_{t.attack}_{t.loss_fn}"
-        f"{cfg.get('ADDENDUM', '')}")
+    if args.run_dir:
+        save_path = args.run_dir
+    else:
+        stamp = str(datetime.datetime.now())[:-7].replace(" ", "-").replace(
+            ":", "_")
+        save_path = os.path.join(
+            save_dir, str(dataset_cfg["NAME"]),
+            f"{model_name}_{model_cfg.get('BACKBONE', '')}"
+            f"_adv_{t.adversarial}_{stamp}_{t.attack}_{t.loss_fn}"
+            f"{cfg.get('ADDENDUM', '')}")
     os.makedirs(save_path, exist_ok=True)
     logger = Logger(os.path.join(save_path, "train_log"))
     logger.log(str(cfg))
@@ -184,27 +191,28 @@ def main():
 
     best_miou = 0.0
     t0 = time.time()
-    train_loss, seen = 0.0, 0
+    start_it = int(jax.device_get(state.step))
+    train_loss, window = 0.0, 0
     log_every = max(iters_per_epoch // 2, 1)
     eval_freq = 20  # parity: train_rob_seg.py:387
 
-    for it, (imgs, lbls) in enumerate(loader, start=int(
-            jax.device_get(state.step))):
+    for it, (imgs, lbls) in enumerate(loader, start=start_it):
         bx, by = shard_batch(mesh, (imgs.astype(np.float32),
                                     lbls.astype(np.int32)))
         state, metrics = train_step(state, bx, by)
         train_loss += float(jax.device_get(metrics["loss"]))
-        seen += 1
+        window += 1
 
         if (it + 1) % log_every == 0:
-            eta = (time.time() - t0) / (seen) * (max_iters - it)
+            done = it - start_it + 1
+            eta = (time.time() - t0) / done * (max_iters - it - 1)
             logger.log(
                 "Epoch: {:d}/{:d} | Iters: {:d}/{:d} || Lr: {:.6f} || "
                 "Loss: {:.7f} || ETA: {}".format(
                     it // iters_per_epoch + 1, t.epochs, it, max_iters,
-                    float(sched(it)), train_loss / max(seen, 1),
+                    float(sched(it)), train_loss / max(window, 1),
                     str(datetime.timedelta(seconds=int(eta)))))
-            train_loss, seen = 0.0, seen
+            train_loss, window = 0.0, 0
 
         if (it + 1) % (iters_per_epoch * eval_freq) == 0:
             m = run_eval(state)
