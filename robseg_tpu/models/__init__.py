@@ -56,8 +56,14 @@ def create_segmenter(backbone: str, n_cls: int, image_size=(512, 512)
 
 
 def build_model(model_name: str, backbone: str, n_cls: int,
-                image_size=(512, 512), bn_axis_name: Optional[str] = None):
-    """Build the Flax module for a (MODEL.NAME, BACKBONE, N_CLS) triple."""
+                image_size=(512, 512), bn_axis_name: Optional[str] = None,
+                pspnet_clean: bool = True):
+    """Build the Flax module for a (MODEL.NAME, BACKBONE, N_CLS) triple.
+
+    ``pspnet_clean``: the reference's ``clean`` flag (deep-base 3-conv stem
+    vs the robust-checkpoint 7x7 stem; ``tools/train_rob_seg.py:92-98``
+    derives it from 'clean' in ADDENDUM).
+    """
     if model_name == "SegMenter":
         return create_segmenter(backbone, n_cls, image_size)
     if model_name == "UperNetForSemanticSegmentation":
@@ -66,7 +72,8 @@ def build_model(model_name: str, backbone: str, n_cls: int,
             backbone_variant=variant, num_classes=n_cls,
             bn_axis_name=bn_axis_name)
     if model_name == "PSPNet":
-        return PSPNet(classes=n_cls, bn_axis_name=bn_axis_name)
+        return PSPNet(classes=n_cls, deep_base=pspnet_clean,
+                      bn_axis_name=bn_axis_name)
     if model_name == "PSPNet_DDCAT":
         return PSPNetDDCAT(classes=n_cls, bn_axis_name=bn_axis_name)
     if model_name == "DeepLabV3":

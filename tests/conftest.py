@@ -16,9 +16,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# Some TPU plugin environments ignore the JAX_PLATFORMS env var — force the
+# platform through the config API as well (otherwise "CPU" tests silently
+# run on the TPU tunnel).
+jax.config.update("jax_platforms", "cpu")
+
 # This environment's DEFAULT matmul/conv precision is bfloat16 (TPU-style)
 # even on the CPU backend; parity tests against torch float32 need full f32.
 jax.config.update("jax_default_matmul_precision", "float32")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 
 @pytest.fixture

@@ -42,7 +42,7 @@ class TestSEAEndToEnd:
                             "loss-wise_miou"}
         assert len(res["loss-wise_miou"]) == 3
         # worst-case mIoU can't beat any individual attack
-        assert res["final_miou"] <= min(res["loss-wise_miou"]) + 1e-9
+        assert res["final_miou"] <= min(res["loss-wise_miou"]) + 1e-6
         assert 0.0 <= res["worst_Acc"] <= 1.0
 
     def test_eval_performance_pads_partial_batches(self, rng):

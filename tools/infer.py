@@ -55,7 +55,17 @@ def main():
                         action="store_false")
     parser.add_argument("--ckpt", type=str, default=None,
                         help=".npz params checkpoint (overrides EVAL.MODEL_PATH)")
+    parser.add_argument("--precision", type=str, default="default",
+                        choices=["default", "bf16", "f32"],
+                        help="matmul/conv precision: bf16 = fastest (MXU "
+                             "native), f32 = reference parity")
     args = parser.parse_args()
+
+    import jax as _jax
+    if args.precision == "bf16":
+        _jax.config.update("jax_default_matmul_precision", "bfloat16")
+    elif args.precision == "f32":
+        _jax.config.update("jax_default_matmul_precision", "float32")
 
     cfg = load_config(args.cfg)
     dataset_cfg, test_cfg = cfg["DATASET"], cfg["EVAL"]

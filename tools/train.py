@@ -78,13 +78,26 @@ def main():
                         help="reuse this run directory (required for "
                              "--resume to find earlier checkpoints; "
                              "default is a fresh timestamped dir)")
+    parser.add_argument("--precision", type=str, default="default",
+                        choices=["default", "bf16", "f32"],
+                        help="matmul/conv precision (the reference's AMP "
+                             "flag analogue: bf16 = mixed precision)")
     args = parser.parse_args()
+
+    if args.precision == "bf16":
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
+    elif args.precision == "f32":
+        jax.config.update("jax_default_matmul_precision", "float32")
 
     if args.multihost:
         jax.distributed.initialize()
 
     cfg = load_config(args.cfg)
     t = TrainSettings.from_cfg(cfg["TRAIN"])
+    if t.amp and args.precision == "default":
+        # TRAIN.AMP -> bf16 matmuls (reference GradScaler analogue;
+        # train_rob_seg.py:224)
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
     dataset_cfg, model_cfg = cfg["DATASET"], cfg["MODEL"]
     n_cls = dataset_cfg["N_CLS"]
     model_name = model_cfg["NAME"]
@@ -110,8 +123,11 @@ def main():
     logger = Logger(os.path.join(save_path, "train_log"))
     logger.log(str(cfg))
 
-    module = models.build_model(model_name, model_cfg.get("BACKBONE", ""),
-                                n_cls, image_size=t.image_size)
+    module = models.build_model(
+        model_name, model_cfg.get("BACKBONE", ""), n_cls,
+        image_size=t.image_size,
+        # parity: clean stem selection via ADDENDUM (train_rob_seg.py:92-98)
+        pspnet_clean="clean" in str(cfg.get("ADDENDUM", "")))
 
     train_ds = get_segmentation_dataset(
         dataset_cfg["NAME"], root=dataset_cfg["ROOT"], split="train",
@@ -173,10 +189,11 @@ def main():
     eval_step = make_eval_step(module, n_cls, mesh)
 
     state = replicate(mesh, state)
-    loader = IterationBasedLoader(
+    from robseg_tpu.data import prefetch
+    loader = prefetch(IterationBasedLoader(
         train_ds, num_shards=n_dev, batch_per_shard=per_dev,
         max_iters=max_iters, seed=dataset_cfg.get("SEED", 0),
-        start_iter=int(jax.device_get(state.step)))
+        start_iter=int(jax.device_get(state.step))), depth=2)
 
     def run_eval(state, n_batches=20):
         hist = replicate(mesh, jnp.zeros((n_cls, n_cls), jnp.float32))
