@@ -34,6 +34,11 @@ def _setup_compilation_cache():
     """
     if _os.environ.get("ROBSEG_NO_CACHE"):
         return
+    if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU AOT cache entries are machine-feature sensitive (SIGILL risk
+        # when loaded on a host with different claimed features); the cache
+        # only pays off for slow tunnel TPU compiles anyway.
+        return
     try:
         import jax
         cache_dir = _os.environ.get(

@@ -7,6 +7,7 @@ and keeps the suite runnable on any machine.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # hard override (host sets axon/TPU)
+os.environ["ROBSEG_NO_CACHE"] = "1"  # no persistent XLA cache for CPU tests
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -240,3 +240,37 @@ class TestPGD:
             return nll.mean()
 
         assert mean_ce(adv) > mean_ce(x)
+
+
+class TestRestartsAndTargeted:
+    def test_restarts_monotone_improvement(self, rng):
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        logits = np.asarray(jax_fn(jnp.asarray(x)))
+        y = logits.argmax(-1).astype(np.int32)
+        from robseg_tpu.attacks import apgd_restarts
+        x1, _, acc1 = apgd_restarts(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                                    eps=0.05, n_iter=8, loss="ce-avg",
+                                    n_restarts=1, use_rs=True,
+                                    rng=jax.random.PRNGKey(0))
+        x3, _, acc3 = apgd_restarts(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                                    eps=0.05, n_iter=8, loss="ce-avg",
+                                    n_restarts=3, use_rs=True,
+                                    rng=jax.random.PRNGKey(0))
+        # more restarts can only help (per-image min over attempts)
+        assert np.all(np.asarray(acc3) <= np.asarray(acc1) + 1e-7)
+        out = np.asarray(x3)
+        assert np.abs(out - x).max() <= 0.05 + 1e-6
+
+    def test_targeted_cycling_runs_and_stays_in_ball(self, rng):
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        y = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+        from robseg_tpu.attacks import apgd_restarts
+        x_adv, _, acc = apgd_restarts(
+            jax_fn, jnp.asarray(x), jnp.asarray(y), eps=0.05, n_iter=6,
+            loss="ce-targeted", track_loss="ce-avg", n_restarts=2,
+            n_target_classes=3, rng=jax.random.PRNGKey(1))
+        out = np.asarray(x_adv)
+        assert np.abs(out - x).max() <= 0.05 + 1e-6
+        assert np.all((np.asarray(acc) >= 0) & (np.asarray(acc) <= 1))
