@@ -47,11 +47,28 @@ def _js_avg(logits, y):
                             ).reshape(logits.shape[0], -1).mean(-1)
 
 
+def segpgd_loss(logits, y, t, total_iters, ignore_index: int = -1):
+    """SegPGD loss (Gu et al., ECCV 2022, arXiv:2207.12391): per-pixel CE
+    weighted (1-lambda) for correctly classified pixels and lambda for
+    misclassified ones, lambda = t / (2*T).
+
+    The reference *dispatches* on the name "segpgd-loss" (``val.py:153-155``)
+    but never defines it in its registry — this is the working
+    implementation.
+    """
+    lam = t / (2.0 * total_iters)
+    correct = (jnp.argmax(logits, axis=-1) == y).astype(logits.dtype)
+    ce = cross_entropy_pixelwise(logits, y, None, ignore_index)
+    w = (1.0 - lam) * correct + lam * (1.0 - correct)
+    return (w * ce).reshape(logits.shape[0], -1).mean(-1)
+
+
 TRAIN_ATTACK_LOSSES = {
     "pgd": _pgd_scalar_ce,
     "mask-ce-avg": _mask_ce_avg,
     "js-avg": _js_avg,
     "l2-loss": lambda lg, y: ((lg - y) ** 2).reshape(lg.shape[0], -1).sum(-1),
+    # segpgd-loss handled specially (needs the step index); see pgd_attack
 }
 
 
@@ -61,21 +78,25 @@ def pgd_attack(logits_fn: Callable, x: Array, y: Array, *,
                num_iter: int = 2, loss: str = "pgd") -> Array:
     """``Pgd_Attack.adv_attack`` (``val.py:138-178``): no random start,
     best-loss delta tracking; returns x_adv."""
-    loss_fn = TRAIN_ATTACK_LOSSES[loss]
+    if loss == "segpgd-loss":
+        loss_fn = lambda lg, yy, t: segpgd_loss(lg, yy, t, num_iter)  # noqa
+    else:
+        base = TRAIN_ATTACK_LOSSES[loss]
+        loss_fn = lambda lg, yy, t: base(lg, yy)  # noqa: E731
     bs = x.shape[0]
     ndims = x.ndim - 1
 
-    def grad_fn(delta):
+    def grad_fn(delta, t):
         def f(d):
             logits = logits_fn(jnp.clip(x + d, 0.0, 1.0))
-            per_img = loss_fn(logits, y)
+            per_img = loss_fn(logits, y, t)
             return jnp.sum(per_img), per_img
         (_, per_img), g = jax.value_and_grad(f, has_aux=True)(delta)
         return g, per_img
 
-    def step(carry, _):
+    def step(carry, t):
         delta, best_delta, running_best = carry
-        g, per_img = grad_fn(delta)
+        g, per_img = grad_fn(delta, t)
         per_img = jnp.broadcast_to(per_img, (bs,))
         ind = per_img >= running_best
         running_best = jnp.where(ind, per_img, running_best)
@@ -87,7 +108,8 @@ def pgd_attack(logits_fn: Callable, x: Array, y: Array, *,
         return (delta, best_delta, running_best), None
 
     init = (jnp.zeros_like(x), jnp.zeros_like(x), jnp.zeros((bs,), jnp.float32))
-    (_, best_delta, _), _ = jax.lax.scan(step, init, None, length=num_iter)
+    (_, best_delta, _), _ = jax.lax.scan(step, init,
+                                         jnp.arange(num_iter, dtype=jnp.float32))
     return jnp.clip(x + best_delta, 0.0, 1.0)
 
 

@@ -67,16 +67,21 @@ class AttackConfig:
 def _pgd_inline(logits_fn, x, y, *, eps, alpha, num_iter, loss):
     """``Pgd_Attack.adv_attack`` body, traceable inside shard_map
     (mirrors ``robseg_tpu.attacks.pgd.pgd_attack`` without the jit)."""
-    loss_fn = TRAIN_ATTACK_LOSSES[loss]
+    if loss == "segpgd-loss":
+        from robseg_tpu.attacks.pgd import segpgd_loss
+        loss_fn = lambda lg, yy, t: segpgd_loss(lg, yy, t, num_iter)  # noqa
+    else:
+        base = TRAIN_ATTACK_LOSSES[loss]
+        loss_fn = lambda lg, yy, t: base(lg, yy)  # noqa: E731
     bs = x.shape[0]
     ndims = x.ndim - 1
 
-    def step(carry, _):
+    def step(carry, t):
         delta, best_delta, running_best = carry
 
         def f(d):
             logits = logits_fn(jnp.clip(x + d, 0.0, 1.0))
-            per_img = loss_fn(logits, y)
+            per_img = loss_fn(logits, y, t)
             return jnp.sum(per_img), per_img
 
         (_, per_img), g = jax.value_and_grad(f, has_aux=True)(delta)
@@ -92,7 +97,8 @@ def _pgd_inline(logits_fn, x, y, *, eps, alpha, num_iter, loss):
 
     init = (jnp.zeros_like(x), jnp.zeros_like(x),
             jnp.zeros((bs,), jnp.float32))
-    (_, best_delta, _), _ = jax.lax.scan(step, init, None, length=num_iter)
+    (_, best_delta, _), _ = jax.lax.scan(
+        step, init, jnp.arange(num_iter, dtype=jnp.float32))
     return jnp.clip(x + best_delta, 0.0, 1.0)
 
 

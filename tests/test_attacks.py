@@ -274,3 +274,142 @@ class TestRestartsAndTargeted:
         out = np.asarray(x_adv)
         assert np.abs(out - x).max() <= 0.05 + 1e-6
         assert np.all((np.asarray(acc) >= 0) & (np.asarray(acc) <= 1))
+
+
+def _torch_apgd_l2(torch_fn, x_np, y_np, n_iter, eps):
+    """Transcription of the L2 branch (semseg/attacker.py:412-436), f64."""
+    x = torch.from_numpy(np.moveaxis(x_np, -1, 1).copy()).double()
+    y = torch.from_numpy(y_np).long()
+    bs = x.shape[0]
+
+    def l2n(d):
+        return d.reshape(bs, -1).norm(dim=1).view(bs, 1, 1, 1)
+
+    def criterion(logits, yy):
+        return F.cross_entropy(logits, yy, reduction="none", ignore_index=-1)
+
+    mask_background = 1 - (y == -1).double()
+    x_adv = x.clone().clamp(0., 1.)
+    x_best = x_adv.clone()
+    x_best_adv = x_adv.clone()
+    loss_steps = torch.zeros([n_iter, bs], dtype=torch.float64)
+    n_iter_2 = max(int(0.22 * n_iter), 1)
+    n_iter_min = max(int(0.06 * n_iter), 1)
+    size_decr = max(int(0.03 * n_iter), 1)
+    k = n_iter_2
+    step_size = 2. * eps * torch.ones([bs, 1, 1, 1], dtype=torch.float64)
+    counter3 = 0
+
+    def fwd_loss_grad(xa):
+        xa = xa.clone().requires_grad_(True)
+        logits = torch_fn(xa)
+        li = (mask_background * criterion(logits, y)).view(bs, -1).mean(-1)
+        grad = torch.autograd.grad(li.sum(), [xa])[0]
+        return logits.detach(), grad.detach(), li.detach()
+
+    logits, grad, loss_indiv = fwd_loss_grad(x_adv)
+    acc = (logits.max(1)[1] == y).float().view(bs, -1).mean(-1)
+    loss_best = loss_indiv.clone()
+    loss_best_last_check = loss_best.clone()
+    reduced_last_check = torch.ones_like(loss_best)
+    grad_best = grad.clone()
+    x_adv_old = x_adv.clone()
+
+    def check_osc(xx, j, kk, k3):
+        t = torch.zeros(xx.shape[1])
+        for c5 in range(kk):
+            t += (xx[j - c5] > xx[j - c5 - 1]).float()
+        return (t <= kk * k3 * torch.ones_like(t)).float()
+
+    for i in range(n_iter):
+        grad2 = x_adv - x_adv_old
+        x_adv_old = x_adv.clone()
+        a = 0.75 if i > 0 else 1.0
+        x_adv_1 = x_adv + step_size * grad / (l2n(grad) + 1e-12)
+        x_adv_1 = torch.clamp(
+            x + (x_adv_1 - x) / (l2n(x_adv_1 - x) + 1e-12)
+            * torch.min(eps * torch.ones_like(x).double(),
+                        l2n(x_adv_1 - x)), 0., 1.)
+        x_adv_1 = x_adv + (x_adv_1 - x_adv) * a + grad2 * (1 - a)
+        x_adv_1 = torch.clamp(
+            x + (x_adv_1 - x) / (l2n(x_adv_1 - x) + 1e-12)
+            * torch.min(eps * torch.ones_like(x).double(),
+                        l2n(x_adv_1 - x)), 0., 1.)
+        x_adv = x_adv_1 + 0.
+
+        logits, grad, y1 = fwd_loss_grad(x_adv)
+        pred = logits.max(1)[1] == y
+        pred[y == -1] = True
+        avg_acc = pred.float().view(bs, -1).mean(-1)
+        ind_pred = (avg_acc <= acc).nonzero().squeeze(-1)
+        acc = torch.min(acc, avg_acc)
+        x_best_adv[ind_pred] = x_adv[ind_pred] + 0.
+
+        loss_steps[i] = y1 + 0
+        ind = (y1 > loss_best).nonzero().squeeze(-1)
+        x_best[ind] = x_adv[ind].clone()
+        grad_best[ind] = grad[ind].clone()
+        loss_best[ind] = y1[ind] + 0
+
+        counter3 += 1
+        if counter3 == k:
+            fl = check_osc(loss_steps, i, k, 0.75)
+            fl_ni = (1. - reduced_last_check) * (
+                loss_best_last_check >= loss_best).float()
+            fl = torch.max(fl, fl_ni)
+            reduced_last_check = fl.clone()
+            loss_best_last_check = loss_best.clone()
+            if fl.sum() > 0:
+                idx = (fl > 0).nonzero().squeeze(-1)
+                step_size[idx] /= 2.0
+                x_adv[idx] = x_best[idx].clone()
+                grad[idx] = grad_best[idx].clone()
+            counter3 = 0
+            k = max(k - size_decr, n_iter_min)
+
+    return (np.moveaxis(x_best_adv.numpy(), 1, -1), loss_best.numpy())
+
+
+class TestAPGDL2GoldenParity:
+    def test_l2_matches_torch_transcription(self, rng):
+        jax_fn, torch_fn = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float64)
+        y = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+        eps = 0.5
+        ref_adv, ref_loss = _torch_apgd_l2(torch_fn, x, y, 12, eps)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            res = apgd_attack(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                              norm="L2", eps=eps, n_iter=12,
+                              loss="ce-avg", track_loss="ce-avg")
+            res = jax.tree.map(np.asarray, res)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        np.testing.assert_allclose(res.loss_best, ref_loss, atol=1e-8)
+        np.testing.assert_allclose(res.x_best_adv, ref_adv, atol=1e-8)
+
+
+class TestSegPGD:
+    def test_segpgd_loss_weighting(self, rng):
+        from robseg_tpu.attacks.pgd import segpgd_loss
+        logits = rng.normal(size=(2, 4, 4, C)).astype(np.float32)
+        y = rng.integers(0, C, (2, 4, 4)).astype(np.int32)
+        # at t = T, lambda = 0.5 -> plain 0.5 * mean CE
+        l_half = np.asarray(segpgd_loss(jnp.asarray(logits), jnp.asarray(y),
+                                        jnp.asarray(10.0), 10))
+        from robseg_tpu.ops.losses import cross_entropy_pixelwise
+        ce = np.asarray(cross_entropy_pixelwise(jnp.asarray(logits),
+                                                jnp.asarray(y)))
+        np.testing.assert_allclose(l_half, 0.5 * ce.reshape(2, -1).mean(-1),
+                                   rtol=1e-6)
+
+    def test_segpgd_attack_runs(self, rng):
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        logits = np.asarray(jax_fn(jnp.asarray(x)))
+        y = logits.argmax(-1).astype(np.int32)
+        adv = pgd_attack(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                         eps=EPS, alpha=1e-2, num_iter=5, loss="segpgd-loss")
+        adv = np.asarray(adv)
+        assert np.abs(adv - x).max() <= EPS + 1e-6
+        assert adv.min() >= 0.0 and adv.max() <= 1.0

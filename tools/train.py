@@ -197,13 +197,16 @@ def main():
 
     def run_eval(state, n_batches=20):
         hist = replicate(mesh, jnp.zeros((n_cls, n_cls), jnp.float32))
-        count = 0
         for x, y in simple_eval_loader(val_ds, n_dev, n_batches):
             if x.shape[0] != n_dev:
-                break  # sharded eval needs full batches; tail dropped
+                # pad the tail batch; padded rows get all-ignore labels so
+                # they contribute nothing to the confusion matrix
+                reps = n_dev - x.shape[0]
+                x = np.concatenate([x, np.repeat(x[-1:], reps, axis=0)])
+                y = np.concatenate(
+                    [y, np.full((reps,) + y.shape[1:], -1, y.dtype)])
             bx, by = shard_batch(mesh, (x, y))
             hist = eval_step(state.params, state.batch_stats, bx, by, hist)
-            count += 1
         return metrics_from_hist(jax.device_get(hist))
 
     best_miou = 0.0
