@@ -340,3 +340,59 @@ class TestStructuralConversion:
 
         got, _ = convert_segmenter(sd, target_grid=(4, 4))
         _assert_same_structure(template, got)
+
+
+class TestUperNetFullConversion:
+    def test_full_model_structure_and_forward(self, rng):
+        """Synthesize a full torch-layout UperNet state dict, convert, and
+        run a forward pass with the converted variables."""
+        m = models.UperNetForSemanticSegmentation(
+            backbone_variant="T_CVST", num_classes=7)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        shapes_p = _tree_shapes(variables["params"])
+        shapes_s = _tree_shapes(variables["batch_stats"])
+        sd = _fake_convnext_sd("T_CVST", cvst_layout=False,
+                               prefix="backbone.")
+        # per-stage norms present in full-model checkpoints
+        for i, d in enumerate((96, 192, 384, 768)):
+            sd[f"backbone.norm{i}.weight"] = np.ones(d, np.float32)
+            sd[f"backbone.norm{i}.bias"] = np.zeros(d, np.float32)
+
+        rng_np = np.random.default_rng(0)
+
+        def t_conv(shape):
+            kh, kw, ci, co = shape
+            return rng_np.normal(size=(co, ci, kh, kw)).astype(np.float32)
+
+        def add_cm(src, dst):
+            sd[f"{src}.conv.weight"] = t_conv(shapes_p[f"{dst}/conv/kernel"])
+            n = shapes_p[f"{dst}/bn/scale"][0]
+            sd[f"{src}.batch_norm.weight"] = np.ones(n, np.float32)
+            sd[f"{src}.batch_norm.bias"] = np.zeros(n, np.float32)
+            sd[f"{src}.batch_norm.running_mean"] = np.zeros(n, np.float32)
+            sd[f"{src}.batch_norm.running_var"] = np.ones(n, np.float32)
+
+        for i in range(4):
+            add_cm(f"decode_head.psp_modules.{i}.1",
+                   f"decode_head/psp_block{i}")
+        add_cm("decode_head.bottleneck", "decode_head/bottleneck")
+        for i in range(3):
+            add_cm(f"decode_head.lateral_convs.{i}", f"decode_head/lateral{i}")
+            add_cm(f"decode_head.fpn_convs.{i}", f"decode_head/fpn{i}")
+        add_cm("decode_head.fpn_bottleneck", "decode_head/fpn_bottleneck")
+        sd["decode_head.classifier.weight"] = t_conv(
+            shapes_p["decode_head/classifier/kernel"])
+        sd["decode_head.classifier.bias"] = np.zeros(7, np.float32)
+        add_cm("auxiliary_head.convs.0", "auxiliary_head/conv0")
+        sd["auxiliary_head.classifier.weight"] = t_conv(
+            shapes_p["auxiliary_head/classifier/kernel"])
+        sd["auxiliary_head.classifier.bias"] = np.zeros(7, np.float32)
+
+        params, stats = convert_upernet(sd, "T_CVST")
+        _assert_same_structure(variables["params"], params)
+        _assert_same_structure(variables["batch_stats"], stats)
+        logits = m.apply({"params": params, "batch_stats": stats},
+                         jnp.ones((1, 64, 64, 3)) * 0.5)
+        assert logits.shape == (1, 64, 64, 7)
+        assert np.all(np.isfinite(np.asarray(logits)))

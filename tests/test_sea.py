@@ -89,3 +89,38 @@ class TestWorstCase:
             best = min(best, _miou_from(ci, cu))
         # greedy coordinate descent should get close to the optimum
         assert greedy <= best + 0.05
+
+
+class TestNativeWorstCase:
+    def test_native_matches_python_minimum(self, rng):
+        from robseg_tpu.native import native_available
+        if not native_available("worst_case"):
+            pytest.skip("no C++ toolchain")
+        n_img, n_att = 6, 3
+        targets = rng.integers(0, C, (n_img, HW, HW)).astype(np.int32)
+        preds = [np.where(rng.random((n_img, HW, HW)) < 0.5, targets,
+                          rng.integers(0, C, (n_img, HW, HW)))
+                 .astype(np.int32) for _ in range(n_att)]
+        ints, unis = sea_intersect_union(preds, targets, num_classes=C)
+        py = worst_case_miou(ints, unis, n_rounds=50, engine="python")
+        nat = worst_case_miou(ints, unis, n_rounds=50, engine="native")
+        # different shuffle RNGs => trajectories differ; both reach (near)
+        # the same greedy minimum on small instances
+        assert abs(py - nat) < 0.02
+        start = _miou_from(ints[0].sum(0), unis[0].sum(0))
+        assert nat <= start + 1e-9
+
+    def test_native_deterministic(self, rng):
+        from robseg_tpu.native import native_available
+        if not native_available("worst_case"):
+            pytest.skip("no C++ toolchain")
+        targets = rng.integers(0, C, (4, HW, HW)).astype(np.int32)
+        preds = [rng.integers(0, C, (4, HW, HW)).astype(np.int32)
+                 for _ in range(2)]
+        ints, unis = sea_intersect_union(preds, targets, num_classes=C)
+        a = worst_case_miou(ints, unis, n_rounds=20, engine="native",
+                            return_selection=True)
+        b = worst_case_miou(ints, unis, n_rounds=20, engine="native",
+                            return_selection=True)
+        assert a[0] == b[0]
+        np.testing.assert_array_equal(a[1], b[1])

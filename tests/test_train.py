@@ -162,3 +162,25 @@ class TestCheckpointNpz:
         restored = load_params_npz(p, jax.tree.map(jnp.zeros_like, params))
         assert float(jnp.abs(restored["a"]["w"]
                              - params["a"]["w"]).max()) == 0
+
+
+class TestOrbaxCheckpoint:
+    def test_trainstate_roundtrip_and_resume(self, tmp_path):
+        import optax
+        from robseg_tpu.train import CheckpointManager
+        params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)}
+        tx = optax.adam(1e-3)
+        state = TrainState(step=jnp.asarray(5), params=params,
+                           batch_stats={}, opt_state=tx.init(params),
+                           rng=jax.random.PRNGKey(3))
+        mgr = CheckpointManager(str(tmp_path / "ckpts"))
+        mgr.save(5, jax.device_get(state), metrics={"mIoU": 0.5})
+        assert mgr.latest_step() == 5
+        template = jax.tree.map(np.zeros_like, jax.device_get(state))
+        restored = mgr.restore(template)
+        assert int(restored.step) == 5
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                      np.asarray(params["w"]))
+        np.testing.assert_array_equal(np.asarray(restored.rng),
+                                      np.asarray(jax.random.PRNGKey(3)))
+        mgr.close()
