@@ -39,7 +39,7 @@ def main():
     module = models.UperNetForSemanticSegmentation(
         backbone_variant="T_CVST", num_classes=n_cls)
     x0 = jnp.zeros((batch, hw, hw, 3), jnp.float32)
-    variables = module.init(jax.random.PRNGKey(0), x0)
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), x0)
 
     def logits_fn(x):
         return module.apply(variables, x)

@@ -118,3 +118,55 @@ class TestSampler:
                                    crop_size=32)
         batches = list(simple_eval_loader(ds, 2))
         assert [b[0].shape[0] for b in batches] == [2, 2, 1]
+
+
+class TestDeviceTransforms:
+    def test_augment_batch_shapes_and_ranges(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from robseg_tpu.data.device_transforms import augment_batch
+        b, hs, ws, crop = 3, 48, 56, 32
+        imgs = rng.random((b, hs, ws, 3)).astype(np.float32)
+        masks = rng.integers(0, 5, (b, hs, ws)).astype(np.int32)
+        valid = np.tile(np.array([[48, 56]], np.int32), (b, 1))
+        out_i, out_m = augment_batch(
+            jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(valid),
+            jax.random.PRNGKey(0), base_size=40, crop_size=crop)
+        assert out_i.shape == (b, crop, crop, 3)
+        assert out_m.shape == (b, crop, crop)
+        oi = np.asarray(out_i)
+        assert oi.min() >= -1e-6 and oi.max() <= 1 + 1e-6
+        om = np.asarray(out_m)
+        assert om.min() >= 0 and om.max() < 5
+
+    def test_augment_deterministic_per_key(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from robseg_tpu.data.device_transforms import augment_batch
+        imgs = rng.random((2, 40, 40, 3)).astype(np.float32)
+        masks = rng.integers(0, 5, (2, 40, 40)).astype(np.int32)
+        valid = np.tile(np.array([[40, 40]], np.int32), (2, 1))
+        a = augment_batch(jnp.asarray(imgs), jnp.asarray(masks),
+                          jnp.asarray(valid), jax.random.PRNGKey(7),
+                          base_size=40, crop_size=32)
+        b = augment_batch(jnp.asarray(imgs), jnp.asarray(masks),
+                          jnp.asarray(valid), jax.random.PRNGKey(7),
+                          base_size=40, crop_size=32)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        c = augment_batch(jnp.asarray(imgs), jnp.asarray(masks),
+                          jnp.asarray(valid), jax.random.PRNGKey(8),
+                          base_size=40, crop_size=32)
+        assert not np.array_equal(np.asarray(a[0]), np.asarray(c[0]))
+
+    def test_identity_when_scale_one_no_blur_possible(self, rng):
+        # scale range pinned to exactly crop/short and no random margin:
+        # sampling grid hits integer source coords -> bilinear == identity
+        import jax
+        import jax.numpy as jnp
+        from robseg_tpu.data.device_transforms import _sample_bilinear
+        img = jnp.asarray(rng.random((16, 16, 3)).astype(np.float32))
+        ys = jnp.broadcast_to(jnp.arange(16.0)[:, None], (16, 16))
+        xs = jnp.broadcast_to(jnp.arange(16.0)[None, :], (16, 16))
+        out = _sample_bilinear(img, ys, xs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img),
+                                   atol=1e-6)

@@ -1,0 +1,88 @@
+"""Utility tests: sliding window, multi-scale eval, palettes, prefetch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from robseg_tpu.utils.sliding_window import (sliding_window_logits,
+                                             multi_scale_flip_logits)
+from robseg_tpu.utils.visualize import (voc_palette, generate_palette,
+                                        colorize_mask, overlay)
+from robseg_tpu.data import prefetch
+from robseg_tpu.utils.misc import model_param_count
+
+
+def _linear_fn(rng, c=5):
+    wk = jnp.asarray(rng.normal(size=(3, c)).astype(np.float32))
+    return lambda x: jnp.einsum("...c,cd->...d", x, wk)
+
+
+class TestSlidingWindow:
+    def test_covers_image_and_matches_direct_for_single_window(self, rng):
+        fn = _linear_fn(rng)
+        img = jnp.asarray(rng.random((30, 40, 3)).astype(np.float32))
+        out = sliding_window_logits(lambda b: fn(b), img, window=32,
+                                    stride=32, num_classes=5)
+        assert out.shape == (30, 40, 5)
+        # pointwise model => sliding-window average == direct application
+        direct = np.asarray(fn(img))
+        np.testing.assert_allclose(np.asarray(out), direct, atol=1e-5)
+
+    def test_msf_averages_probabilities(self, rng):
+        fn = _linear_fn(rng)
+        imgs = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        acc = multi_scale_flip_logits(lambda b: fn(b), imgs,
+                                      scales=(1.0,), flip=True,
+                                      num_classes=5, align=8)
+        assert acc.shape == (2, 16, 16, 5)
+        s = np.asarray(acc).sum(-1)
+        np.testing.assert_allclose(s, 2.0, atol=1e-4)  # two prob simplexes
+
+
+class TestVisualize:
+    def test_voc_palette_canonical_values(self):
+        pal = voc_palette()
+        np.testing.assert_array_equal(pal[0], [0, 0, 0])
+        np.testing.assert_array_equal(pal[1], [128, 0, 0])
+        np.testing.assert_array_equal(pal[2], [0, 128, 0])
+        np.testing.assert_array_equal(pal[15], [192, 128, 128])
+
+    def test_colorize_and_overlay(self, rng):
+        mask = rng.integers(-1, 5, (8, 8)).astype(np.int32)
+        rgb = colorize_mask(mask, num_classes=5)
+        assert rgb.shape == (8, 8, 3) and rgb.dtype == np.uint8
+        assert np.all(rgb[mask == -1] == 0)
+        img = rng.random((8, 8, 3)).astype(np.float32)
+        out = overlay(img, rgb, alpha=0.5)
+        assert out.dtype == np.uint8
+
+    def test_generate_palette_deterministic(self):
+        np.testing.assert_array_equal(generate_palette(30), generate_palette(30))
+
+
+class TestPrefetch:
+    def test_order_preserved(self):
+        items = list(range(20))
+        assert list(prefetch(iter(items), depth=3)) == items
+
+    def test_exception_propagates(self):
+        def gen():
+            yield 1
+            raise ValueError("boom")
+        it = prefetch(gen(), depth=2)
+        got = []
+        try:
+            for v in it:
+                got.append(v)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+        assert got == [1]
+
+
+class TestMisc:
+    def test_param_count(self):
+        params = {"a": jnp.zeros((3, 4)), "b": {"c": jnp.zeros((5,))}}
+        assert model_param_count(params) == 17

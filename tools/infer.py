@@ -53,6 +53,9 @@ def main():
     parser.add_argument("--adversarial", action="store_true", default=True)
     parser.add_argument("--no-adversarial", dest="adversarial",
                         action="store_false")
+    parser.add_argument("--msf", action="store_true",
+                        help="multi-scale + flip clean eval "
+                             "(with --no-adversarial)")
     parser.add_argument("--ckpt", type=str, default=None,
                         help=".npz params checkpoint (overrides EVAL.MODEL_PATH)")
     parser.add_argument("--precision", type=str, default="default",
@@ -76,7 +79,7 @@ def main():
     module = build_eval_model(cfg, n_cls, crop_size)
 
     dummy = jnp.zeros((1,) + tuple(crop_size) + (3,), jnp.float32)
-    variables = module.init(jax.random.PRNGKey(0), dummy)
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), dummy)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
@@ -126,6 +129,17 @@ def main():
 
     if not args.adversarial:
         from robseg_tpu.attacks.sea import eval_performance
+        if args.msf:
+            # multi-scale + flip clean eval; parity: semseg/val.py:329-374
+            from robseg_tpu.utils.sliding_window import multi_scale_flip_logits
+            scales = (0.5, 0.75, 1.0, 1.25, 1.5)
+            msf_fn = lambda x: multi_scale_flip_logits(  # noqa: E731
+                logits_fn, x, scales=scales, flip=True, num_classes=n_cls)
+            stats, _ = eval_performance(msf_fn, make_loader(),
+                                        num_classes=n_cls,
+                                        n_batches=args.n_batches)
+            logger.log(f"MSF clean performance: {stats.as_dict()}")
+            return
         stats, _ = eval_performance(logits_fn, make_loader(),
                                     num_classes=n_cls,
                                     n_batches=args.n_batches)

@@ -54,7 +54,7 @@ def main():
 
     module = models.PSPNet(classes=21)
     x0 = jnp.zeros((1, crop, crop, 3), jnp.float32)
-    variables = module.init(jax.random.PRNGKey(0), x0)
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), x0)
     logits_fn = lambda x: module.apply(variables, x)  # noqa: E731
 
     bs = 4

@@ -146,7 +146,7 @@ def main():
 
     dummy_x = jnp.zeros((1,) + tuple(t.image_size) + (3,), jnp.float32)
     dummy_y = jnp.zeros((1,) + tuple(t.image_size), jnp.int32)
-    variables = module.init(jax.random.PRNGKey(dataset_cfg.get("SEED", 0)),
+    variables = jax.jit(module.init)(jax.random.PRNGKey(dataset_cfg.get("SEED", 0)),
                             dummy_x, labels=dummy_y)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
