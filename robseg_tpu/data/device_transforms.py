@@ -127,6 +127,31 @@ def _augment_one(img, mask, valid_hw, rng, *, base_size, crop_size,
     return out_img, out_mask
 
 
+def color_jitter(img: Array, rng: Array, *, brightness: float = 0.5,
+                 contrast: float = 0.5, saturation: float = 0.5) -> Array:
+    """On-device ColorJitter (brightness/contrast/saturation).
+
+    Parity target: the one live transform of the reference's augmentation
+    library (``semseg/datasets/augmentations.py:402-419`` uses
+    ColorJitter(0.5, 0.5, 0.5) — dead code per SURVEY §2.4, provided here as
+    a working on-device option). Factors ~ U(max(0, 1-f), 1+f), torchvision
+    convention; ops applied brightness -> contrast -> saturation.
+    """
+    rb, rc, rs = jax.random.split(rng, 3)
+
+    def factor(r, f):
+        return jax.random.uniform(r, (), minval=max(0.0, 1.0 - f),
+                                  maxval=1.0 + f)
+
+    img = jnp.clip(img * factor(rb, brightness), 0.0, 1.0)
+    mean = img.mean(axis=(-3, -2, -1), keepdims=True)
+    img = jnp.clip(mean + (img - mean) * factor(rc, contrast), 0.0, 1.0)
+    gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2])[..., None]
+    img = jnp.clip(gray + (img - gray) * factor(rs, saturation), 0.0, 1.0)
+    return img
+
+
 @functools.partial(jax.jit,
                    static_argnames=("base_size", "crop_size", "scale_lo",
                                     "scale_hi"))
