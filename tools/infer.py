@@ -108,7 +108,16 @@ def main():
     v = {"params": params}
     if batch_stats:
         v["batch_stats"] = batch_stats
-    logits_fn = lambda x: module.apply(v, x)  # noqa: E731
+    if args.precision == "bf16":
+        # full-bf16 model: params + activations (measured +15% attack
+        # throughput; robust metrics may deviate slightly from f32)
+        v = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, v)
+        logits_fn = lambda x: module.apply(  # noqa: E731
+            v, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    else:
+        logits_fn = lambda x: module.apply(v, x)  # noqa: E731
 
     ds = get_segmentation_dataset(
         test_cfg["NAME"], root=dataset_cfg["ROOT"], split="val", mode="val",
