@@ -156,12 +156,20 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
             num_classes: int, eps: float, n_iter: int = 300,
             weights: Optional[np.ndarray] = None, n_batches: int = -1,
             losses: Sequence[str] = SEA_LOSSES, seed: int = 225,
-            verbose: bool = False) -> Dict:
+            verbose: bool = False,
+            resume_dir: Optional[str] = None) -> Dict:
     """Full SEA evaluation; parity ``tools/infer.py:313-403``.
 
     ``make_loader`` returns a fresh iterable of (images, labels) batches.
     Returns the reference's summary dict plus per-loss stats.
+
+    ``resume_dir``: persist per-attack argmax predictions (the analogue of
+    the reference's ``argmax-logs`` .pt dumps, ``infer.py:366-370``) and
+    skip attacks already completed for this (eps, n_iter) — a full-val SEA
+    run takes hours, so a crashed run resumes per attack.
     """
+    import os
+
     clean_stats, _ = eval_performance(
         logits_fn, make_loader(), num_classes=num_classes,
         n_batches=n_batches)
@@ -172,6 +180,21 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
     per_loss_stats: List[Dict] = []
     targets: List[np.ndarray] = []
     for li, loss in enumerate(losses):
+        cache_path = None
+        if resume_dir:
+            os.makedirs(resume_dir, exist_ok=True)
+            cache_path = os.path.join(
+                resume_dir, f"argmax_{loss}_{eps:.6f}_{n_iter}.npz")
+        if cache_path and os.path.exists(cache_path):
+            data = np.load(cache_path)
+            per_loss_preds.append(data["preds"])
+            per_loss_stats.append(
+                {k: float(data[k]) for k in ("mAcc", "aAcc", "mIoU")})
+            if li == 0:
+                targets = data["targets"]
+            if verbose:
+                print(f"{loss}: resumed from {cache_path}")
+            continue
         t0 = time.time()
         adv_batches = run_attack_over_loader(
             logits_fn, make_loader(), loss=loss, eps=eps, n_iter=n_iter,
@@ -182,8 +205,14 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
             n_batches=n_batches)
         per_loss_preds.append(preds)
         per_loss_stats.append(stats.as_dict())
+        loss_targets = np.concatenate([y for _, y in adv_batches])
         if li == 0:
-            targets = np.concatenate([y for _, y in adv_batches])
+            targets = loss_targets
+        if cache_path:
+            np.savez_compressed(cache_path, preds=preds,
+                                targets=loss_targets,
+                                **{k: np.float64(v)
+                                   for k, v in stats.as_dict().items()})
         if verbose:
             print(f"{loss}: {stats.as_dict()} ({time.time() - t0:.1f}s)")
 

@@ -54,6 +54,7 @@ class TrainSettings:
     ddp: bool = True
     eval_interval: int = 32
     freeze: bool = False
+    device_aug: bool = False  # on-device augmentation pipeline (north star)
 
     @classmethod
     def from_cfg(cls, t: Dict[str, Any]) -> "TrainSettings":
@@ -71,4 +72,5 @@ class TrainSettings:
             ddp=t.get("DDP", True),
             eval_interval=t.get("EVAL_INTERVAL", 32),
             freeze=t.get("FREEZE", False),
+            device_aug=t.get("DEVICE_AUG", False),
         )

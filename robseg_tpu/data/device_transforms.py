@@ -127,6 +127,39 @@ def _augment_one(img, mask, valid_hw, rng, *, base_size, crop_size,
     return out_img, out_mask
 
 
+def load_raw_batch(dataset, indices, *, buffer_hw: Tuple[int, int],
+                   max_edge: int):
+    """Host-side raw loading for the on-device pipeline.
+
+    Loads images via the dataset's ``_load``, resizes so the longest edge is
+    <= max_edge (deterministic, cacheable — the only host resample), and
+    zero-pads into a static (len(indices), *buffer_hw) buffer. Returns
+    (images f32, masks i32, valid_hw i32).
+    """
+    import numpy as np
+    from PIL import Image
+    bh, bw = buffer_hw
+    n = len(indices)
+    imgs = np.zeros((n, bh, bw, 3), np.float32)
+    masks = np.zeros((n, bh, bw), np.int32)
+    valid = np.zeros((n, 2), np.int32)
+    for bi, i in enumerate(indices):
+        img, mask = dataset._load(int(i))
+        w, h = img.size
+        scale = min(max_edge / max(h, w), 1.0)
+        if scale < 1.0:
+            nw, nh = int(w * scale), int(h * scale)
+            img = img.resize((nw, nh), Image.BILINEAR)
+            mask = mask.resize((nw, nh), Image.NEAREST)
+            w, h = nw, nh
+        ia = np.asarray(img, np.float32) / 255.0
+        ma = dataset._mask_transform(np.asarray(mask).astype(np.int32))
+        imgs[bi, :h, :w] = ia
+        masks[bi, :h, :w] = ma
+        valid[bi] = (h, w)
+    return imgs, masks, valid
+
+
 def color_jitter(img: Array, rng: Array, *, brightness: float = 0.5,
                  contrast: float = 0.5, saturation: float = 0.5) -> Array:
     """On-device ColorJitter (brightness/contrast/saturation).

@@ -170,3 +170,21 @@ class TestDeviceTransforms:
         out = _sample_bilinear(img, ys, xs)
         np.testing.assert_allclose(np.asarray(out), np.asarray(img),
                                    atol=1e-6)
+
+    def test_load_raw_batch_and_full_device_pipeline(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from robseg_tpu.data.device_transforms import (load_raw_batch,
+                                                       augment_batch)
+        ds = SyntheticSegmentation(num_classes=5, length=4,
+                                   image_hw=(70, 90), mode="train",
+                                   base_size=48, crop_size=32)
+        imgs, masks, valid = load_raw_batch(ds, [0, 1, 2],
+                                            buffer_hw=(96, 96), max_edge=96)
+        assert imgs.shape == (3, 96, 96, 3) and masks.shape == (3, 96, 96)
+        np.testing.assert_array_equal(valid, [[70, 90]] * 3)
+        out_i, out_m = augment_batch(
+            jnp.asarray(imgs), jnp.asarray(masks), jnp.asarray(valid),
+            jax.random.PRNGKey(0), base_size=48, crop_size=32)
+        assert out_i.shape == (3, 32, 32, 3)
+        assert np.asarray(out_m).max() < 5

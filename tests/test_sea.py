@@ -124,3 +124,20 @@ class TestNativeWorstCase:
                             return_selection=True)
         assert a[0] == b[0]
         np.testing.assert_array_equal(a[1], b[1])
+
+
+class TestSEAResume:
+    def test_resume_skips_completed_attacks(self, rng, tmp_path):
+        fn = _model(rng)
+        data = _batches(rng)
+        kw = dict(num_classes=C, eps=8 / 255, n_iter=10,
+                  weights=np.ones(C, np.float32), seed=1,
+                  resume_dir=str(tmp_path))
+        r1 = run_sea(fn, lambda: iter(data), **kw)
+        import os
+        caches = [f for f in os.listdir(tmp_path) if f.startswith("argmax_")]
+        assert len(caches) == 3
+        r2 = run_sea(fn, lambda: iter(data), **kw)  # all resumed
+        assert r2["loss-wise_miou"] == r1["loss-wise_miou"]
+        assert np.isclose(r2["final_miou"], r1["final_miou"])
+        assert np.isclose(r2["worst_Acc"], r1["worst_Acc"])

@@ -161,7 +161,8 @@ def main():
         results = run_sea(logits_fn, make_loader, num_classes=n_cls,
                           eps=eps / 255.0, n_iter=args.n_iter,
                           weights=weights, n_batches=args.n_batches,
-                          seed=SEED, verbose=True)
+                          seed=SEED, verbose=True,
+                          resume_dir=os.path.join(save_dir, "argmax-logs"))
         logger.log(json.dumps(results, indent=2, default=float))
         # per-attack text reports; parity: writeIndivloss
         # (semseg/utils/utils.py:236-245)

@@ -190,10 +190,46 @@ def main():
 
     state = replicate(mesh, state)
     from robseg_tpu.data import prefetch
-    loader = prefetch(IterationBasedLoader(
-        train_ds, num_shards=n_dev, batch_per_shard=per_dev,
-        max_iters=max_iters, seed=dataset_cfg.get("SEED", 0),
-        start_iter=int(jax.device_get(state.step))), depth=2)
+    if t.device_aug:
+        # north-star path: host only loads+pads; flip/scale/crop/blur run
+        # on device (robseg_tpu/data/device_transforms.py)
+        from robseg_tpu.data.device_transforms import (augment_batch,
+                                                       load_raw_batch)
+        from robseg_tpu.data.sampler import ShardedEpochSampler
+
+        buf = 2 * t.base_size
+        aug_rng = jax.random.PRNGKey(dataset_cfg.get("SEED", 0) + 7)
+
+        def raw_loader():
+            sampler = ShardedEpochSampler(len(train_ds), n_dev,
+                                          seed=dataset_cfg.get("SEED", 0))
+            it = int(jax.device_get(state.step))
+            epoch = it // max(iters_per_epoch, 1)
+            while it < max_iters:
+                for idx in sampler.global_batch_indices(epoch, per_dev):
+                    yield load_raw_batch(train_ds, idx, buffer_hw=(buf, buf),
+                                         max_edge=buf)
+                    it += 1
+                    if it >= max_iters:
+                        return
+                epoch += 1
+
+        def device_aug_batches():
+            nonlocal aug_rng
+            for imgs, msks, valid in prefetch(raw_loader(), depth=2):
+                aug_rng, sub = jax.random.split(aug_rng)
+                ai, am = augment_batch(
+                    jnp.asarray(imgs), jnp.asarray(msks), jnp.asarray(valid),
+                    sub, base_size=t.base_size,
+                    crop_size=t.image_size[0])
+                yield np.asarray(ai), np.asarray(am)
+
+        loader = device_aug_batches()
+    else:
+        loader = prefetch(IterationBasedLoader(
+            train_ds, num_shards=n_dev, batch_per_shard=per_dev,
+            max_iters=max_iters, seed=dataset_cfg.get("SEED", 0),
+            start_iter=int(jax.device_get(state.step))), depth=2)
 
     def run_eval(state, n_batches=20):
         hist = replicate(mesh, jnp.zeros((n_cls, n_cls), jnp.float32))
