@@ -40,18 +40,20 @@ def _make_linear_model(rng):
 
 
 def _torch_apgd(torch_fn, x_np, y_np, n_iter, loss_name="ce-avg",
-                track_name="ce-avg"):
+                track_name="ce-avg", eps=EPS, x_init=None):
     """Direct transcription of semseg/attacker.py:260-571 (Linf, no rs)."""
     x = torch.from_numpy(np.moveaxis(x_np, -1, 1).copy()).double()
     y = torch.from_numpy(y_np).long()
     bs = x.shape[0]
-    eps = EPS
 
     def criterion(logits, yy):
         return F.cross_entropy(logits, yy, reduction="none", ignore_index=-1)
 
     mask_background = 1 - (y == -1).float()
-    x_adv = x.clone().clamp(0., 1.)
+    if x_init is not None:
+        x_adv = torch.from_numpy(np.moveaxis(x_init, -1, 1).copy()).double().clamp(0., 1.)
+    else:
+        x_adv = x.clone().clamp(0., 1.)
     x_best = x_adv.clone()
     x_best_adv = x_adv.clone()
     loss_steps = torch.zeros([n_iter, bs], dtype=torch.float64)
@@ -413,3 +415,37 @@ class TestSegPGD:
         adv = np.asarray(adv)
         assert np.abs(adv - x).max() <= EPS + 1e-6
         assert adv.min() >= 0.0 and adv.max() <= 1.0
+
+
+class TestLargeEpsGoldenParity:
+    def test_three_phase_schedule_matches_torch(self, rng):
+        """Transcription of apgd_largereps (attacker.py:662-728) in f64."""
+        jax_fn, torch_fn = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float64)
+        y = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+        n_iter, eps = 20, EPS
+
+        n_iters = [int(0.3 * n_iter), int(0.3 * n_iter)]
+        n_iters.append(n_iter - sum(n_iters))
+        epss = [2 * eps, 1.5 * eps, 1 * eps]
+        x_init = None
+        for it, ep in zip(n_iters, epss):
+            if x_init is not None:
+                # _project (attacker.py:683-690)
+                z = np.moveaxis(x_init, -1, 1)
+                xs = np.moveaxis(x, -1, 1)
+                z = xs + np.clip(z - xs, -ep, ep)
+                x_init = np.moveaxis(np.clip(z, 0., 1.), 1, -1)
+            ref = _torch_apgd(torch_fn, x, y, it, eps=ep, x_init=x_init)
+            x_init = ref[3]  # x_best_adv
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            x_adv, _, acc = apgd_largereps(
+                jax_fn, jnp.asarray(x), jnp.asarray(y), eps=eps,
+                n_iter=n_iter, loss="ce-avg", track_loss="ce-avg",
+                use_rs=False)
+            x_adv = np.asarray(x_adv)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        np.testing.assert_allclose(x_adv, x_init, atol=1e-8)
