@@ -14,7 +14,7 @@ Faithfully reproduced quirk: the reference tracks the best per-image loss
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ deliberately (it is inherently sequential).
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp

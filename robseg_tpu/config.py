@@ -10,7 +10,7 @@ top-level ``DEVICE / SAVE_DIR / ADDENDUM`` (e.g.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import yaml
 

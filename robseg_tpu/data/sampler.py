@@ -18,7 +18,7 @@ batches laid out as (num_shards, per_shard_batch, ...) ready for
 from __future__ import annotations
 
 import math
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, Optional
 
 import numpy as np
 

@@ -12,7 +12,7 @@ Behavioral parity target: ``semseg/models/uperforseg.py``:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn

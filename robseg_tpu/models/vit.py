@@ -15,7 +15,7 @@ attention comfortably.
 from __future__ import annotations
 
 import math
-from typing import Optional
+
 
 import numpy as np
 import jax

@@ -14,7 +14,7 @@ distributed_sampler.py``) with a named JAX mesh:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -19,10 +19,9 @@ transform, so the whole update stays one fused XLA program.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
-import jax.numpy as jnp
 import optax
 
 

@@ -25,15 +25,15 @@ and checkpoints rank 0's — documented deviation, same expectation).
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 import time
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 import optax

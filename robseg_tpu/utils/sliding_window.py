@@ -11,7 +11,7 @@ a Python loop of small launches.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import numpy as np
 import jax.numpy as jnp
