@@ -449,3 +449,61 @@ class TestLargeEpsGoldenParity:
         finally:
             jax.config.update("jax_enable_x64", False)
         np.testing.assert_allclose(x_adv, x_init, atol=1e-8)
+
+
+class TestConvModelIntegrationGolden:
+    def test_apgd_on_converted_conv_bn_model(self, rng):
+        """Converter + model + attack integration: a torch conv/BN(eval)/
+        conv net and our Flax equivalent (converted weights) must produce
+        the same APGD trajectory in f64."""
+        cin, mid, ncls = 3, 6, C
+        tconv1 = torch.nn.Conv2d(cin, mid, 3, padding=1, bias=False).double()
+        tbn = torch.nn.BatchNorm2d(mid).double().eval()
+        tconv2 = torch.nn.Conv2d(mid, ncls, 1).double()
+        with torch.no_grad():
+            tbn.weight.copy_(torch.rand(mid) + 0.5)
+            tbn.bias.copy_(torch.rand(mid))
+            tbn.running_mean.copy_(torch.randn(mid) * 0.1)
+            tbn.running_var.copy_(torch.rand(mid) + 0.5)
+
+        def torch_fn(x_nchw):
+            return tconv2(torch.relu(tbn(tconv1(x_nchw))))
+
+        from robseg_tpu.models.layers import ConvModule
+        import flax.linen as nn
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = ConvModule(mid, kernel_size=3, padding=1, name="cm")(x)
+                return nn.Conv(ncls, (1, 1), name="cls")(x)
+
+        params = {
+            "cm": {"conv": {"kernel": np.transpose(
+                tconv1.weight.detach().numpy(), (2, 3, 1, 0))},
+                "bn": {"scale": tbn.weight.detach().numpy(),
+                       "bias": tbn.bias.detach().numpy()}},
+            "cls": {"kernel": np.transpose(
+                tconv2.weight.detach().numpy(), (2, 3, 1, 0)),
+                "bias": tconv2.bias.detach().numpy()},
+        }
+        stats = {"cm": {"bn": {"mean": tbn.running_mean.numpy(),
+                               "var": tbn.running_var.numpy()}}}
+        net = Net()
+        jax_fn = lambda x: net.apply(  # noqa: E731
+            {"params": params, "batch_stats": stats}, x)
+
+        x = rng.random((2, H, W, 3)).astype(np.float64)
+        y = rng.integers(0, ncls, size=(2, H, W)).astype(np.int32)
+        ref = _torch_apgd(torch_fn, x, y, 12)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            res = apgd_attack(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                              norm="Linf", eps=EPS, n_iter=12,
+                              use_rs=False, loss="ce-avg",
+                              track_loss="ce-avg")
+            res = jax.tree.map(np.asarray, res)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        np.testing.assert_allclose(res.loss_best, ref[2], atol=1e-7)
+        np.testing.assert_allclose(res.x_best_adv, ref[3], atol=1e-7)

@@ -188,3 +188,33 @@ class TestDeviceTransforms:
             jax.random.PRNGKey(0), base_size=48, crop_size=32)
         assert out_i.shape == (3, 32, 32, 3)
         assert np.asarray(out_m).max() < 5
+
+
+class TestVOCAug:
+    def test_mat_mask_loading(self, tmp_path):
+        import scipy.io as sio
+        root = tmp_path / "voc"
+        base = root / "VOCaug/dataset"
+        (base / "img").mkdir(parents=True)
+        (base / "cls").mkdir(parents=True)
+        names = []
+        for i in range(2):
+            name = f"2008_{i:06d}"
+            arr = (np.random.default_rng(i).random((60, 80, 3)) * 255
+                   ).astype(np.uint8)
+            Image.fromarray(arr).save(base / "img" / f"{name}.jpg")
+            seg = np.random.default_rng(10 + i).integers(
+                0, 21, (60, 80)).astype(np.uint8)
+            sio.savemat(str(base / "cls" / f"{name}.mat"),
+                        {"GTcls": {"Segmentation": seg}})
+            names.append(name)
+        (base / "trainval.txt").write_text("\n".join(names) + "\n")
+        (base / "val.txt").write_text(names[0] + "\n")
+
+        from robseg_tpu.data import VOCAugSegmentation
+        ds = VOCAugSegmentation(str(root), split="train", mode="train",
+                                base_size=64, crop_size=48)
+        img, mask = ds[0]
+        assert img.shape == (48, 48, 3)
+        assert mask.shape == (48, 48) and mask.dtype == np.int32
+        assert 0 <= mask.min() and mask.max() < 21

@@ -86,3 +86,23 @@ class TestMisc:
     def test_param_count(self):
         params = {"a": jnp.zeros((3, 4)), "b": {"c": jnp.zeros((5,))}}
         assert model_param_count(params) == 17
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        from robseg_tpu.utils.profiling import StepTimer
+        import jax.numpy as jnp
+        t = StepTimer()
+        for _ in range(3):
+            t.start()
+            a = jnp.ones(8).sum()
+            t.stop(a)
+        assert len(t.times) == 3
+        assert "steps=3" in t.summary()
+
+    def test_flops_cost_analysis(self):
+        from robseg_tpu.utils.flops import cost_analysis
+        import jax.numpy as jnp
+        ca = cost_analysis(lambda a, b: a @ b,
+                           jnp.ones((64, 64)), jnp.ones((64, 64)))
+        assert ca.get("flops", 0) >= 2 * 64 ** 3 * 0.9
