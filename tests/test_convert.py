@@ -396,3 +396,208 @@ class TestUperNetFullConversion:
                          jnp.ones((1, 64, 64, 3)) * 0.5)
         assert logits.shape == (1, 64, 64, 7)
         assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestFullBackboneNumericalParity:
+    def test_convnext_cvst_backbone_matches_torch(self, rng):
+        """Full-backbone f64 parity: a torch transcription of the CvSt
+        ConvNeXt forward (convnext_orig.py:103-358) vs our Flax backbone
+        with converted weights — validates stem/downsample/stage/norm wiring
+        end-to-end, not just individual blocks."""
+        variant = "T_CVST"
+        sd = _fake_convnext_sd(variant, cvst_layout=True)
+        # add per-stage norms (full-model style)
+        dims = (96, 192, 384, 768)
+        rng_np = np.random.default_rng(5)
+        for i, d in enumerate(dims):
+            sd[f"norm{i}.weight"] = (rng_np.random(d).astype(np.float32)
+                                     + 0.5)
+            sd[f"norm{i}.bias"] = rng_np.normal(size=d).astype(np.float32)
+
+        depths = (3, 3, 9, 3)
+
+        def t(v):
+            return torch.from_numpy(v).double()
+
+        def ln_cf(x, w, b):  # channels-first LayerNorm, eps 1e-6
+            u = x.mean(1, keepdim=True)
+            s = (x - u).pow(2).mean(1, keepdim=True)
+            x = (x - u) / torch.sqrt(s + 1e-6)
+            return w[:, None, None] * x + b[:, None, None]
+
+        def block(x, p):  # ConvNeXt block, channels-first in/out
+            inp = x
+            x = F.conv2d(x, t(sd[f"{p}.conv_dw.weight"]),
+                         t(sd[f"{p}.conv_dw.bias"]), padding=3,
+                         groups=x.shape[1])
+            x = x.permute(0, 2, 3, 1)
+            x = F.layer_norm(x, (x.shape[-1],), t(sd[f"{p}.norm.weight"]),
+                             t(sd[f"{p}.norm.bias"]), 1e-6)
+            x = F.linear(x, t(sd[f"{p}.mlp.fc1.weight"]),
+                         t(sd[f"{p}.mlp.fc1.bias"]))
+            x = F.gelu(x)
+            x = F.linear(x, t(sd[f"{p}.mlp.fc2.weight"]),
+                         t(sd[f"{p}.mlp.fc2.bias"]))
+            x = t(sd[f"{p}.gamma"]) * x
+            return inp + x.permute(0, 3, 1, 2)
+
+        def torch_backbone(x_nchw):
+            x = F.conv2d(x_nchw, t(sd["stem.stem.0.weight"]),
+                         t(sd["stem.stem.0.bias"]), stride=2, padding=1)
+            x = ln_cf(x, t(sd["stem.stem.1.weight"]),
+                      t(sd["stem.stem.1.bias"]))
+            x = F.gelu(x)
+            x = F.conv2d(x, t(sd["stem.stem.3.weight"]),
+                         t(sd["stem.stem.3.bias"]), stride=2, padding=1)
+            x = ln_cf(x, t(sd["stem.stem.4.weight"]),
+                      t(sd["stem.stem.4.bias"]))
+            x = F.gelu(x)
+            outs = []
+            for s in range(4):
+                if s > 0:
+                    x = ln_cf(x, t(sd[f"stages.{s}.downsample.0.weight"]),
+                              t(sd[f"stages.{s}.downsample.0.bias"]))
+                    x = F.conv2d(x, t(sd[f"stages.{s}.downsample.1.weight"]),
+                                 t(sd[f"stages.{s}.downsample.1.bias"]),
+                                 stride=2)
+                for b in range(depths[s]):
+                    x = block(x, f"stages.{s}.blocks.{b}")
+                outs.append(ln_cf(x, t(sd[f"norm{s}.weight"]),
+                                  t(sd[f"norm{s}.bias"])))
+            return outs
+
+        x = rng.random((1, 32, 32, 3)).astype(np.float64)
+        with torch.no_grad():
+            ref = [o.numpy() for o in torch_backbone(
+                torch.from_numpy(np.moveaxis(x, -1, 1).copy()).double())]
+
+        params = convert_convnext_backbone(sd, variant,
+                                           cvst_ckpt_layout=True)
+        m = models.ConvNeXt(variant)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            feats = m.apply({"params": params}, jnp.asarray(x))
+            feats = [np.asarray(f) for f in feats]
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        for f, r in zip(feats, ref):
+            np.testing.assert_allclose(f, np.moveaxis(r, 1, -1), atol=1e-10)
+
+
+class TestUperNetHeadNumericalParity:
+    def test_head_matches_torch(self, rng):
+        """f64 parity of the full PSP+FPN decode head + aux head against a
+        torch transcription of uperforseg.py:203-379, with BN in eval mode
+        and converted weights — completes end-to-end logit-parity coverage
+        together with the backbone test above."""
+        from robseg_tpu.models.upernet import UperNetHead, UperNetFCNHead
+        dims = (8, 12, 16, 24)
+        ch, ncls = 10, 5
+        rng_np = np.random.default_rng(3)
+
+        store = {}
+
+        def cm_params(name, cin, cout, k):
+            store[name] = dict(
+                w=rng_np.normal(size=(cout, cin, k, k)).astype(np.float64)
+                * 0.2,
+                scale=(rng_np.random(cout) + 0.5),
+                bias=rng_np.normal(size=cout) * 0.1,
+                mean=rng_np.normal(size=cout) * 0.1,
+                var=(rng_np.random(cout) + 0.5),
+            )
+
+        for i in range(4):
+            cm_params(f"psp{i}", dims[-1], ch, 1)
+        cm_params("bottleneck", dims[-1] + 4 * ch, ch, 3)
+        for i in range(3):
+            cm_params(f"lat{i}", dims[i], ch, 1)
+            cm_params(f"fpn{i}", ch, ch, 3)
+        cm_params("fpn_bottleneck", 4 * ch, ch, 3)
+        clsW = rng_np.normal(size=(ncls, ch, 1, 1)).astype(np.float64) * 0.2
+        clsB = rng_np.normal(size=ncls) * 0.1
+        cm_params("aux0", dims[2], 6, 3)
+        auxW = rng_np.normal(size=(ncls, 6, 1, 1)).astype(np.float64) * 0.2
+        auxB = rng_np.normal(size=ncls) * 0.1
+
+        def t(v):
+            return torch.from_numpy(np.asarray(v)).double()
+
+        def cm_t(x, name, pad):
+            p = store[name]
+            x = F.conv2d(x, t(p["w"]), None, padding=pad)
+            x = F.batch_norm(x, t(p["mean"]), t(p["var"]), t(p["scale"]),
+                             t(p["bias"]), training=False, eps=1e-5)
+            return F.relu(x)
+
+        def up(x, size, ac=False):
+            return F.interpolate(x, size=size, mode="bilinear",
+                                 align_corners=ac)
+
+        feats_np = [rng_np.random((1, 16 // (2 ** i), 16 // (2 ** i),
+                                   dims[i])).astype(np.float64)
+                    for i in range(4)]
+        tfeats = [torch.from_numpy(np.moveaxis(f, -1, 1).copy()).double()
+                  for f in feats_np]
+
+        with torch.no_grad():
+            top = tfeats[-1]
+            psp_outs = [top]
+            for i, s in enumerate((1, 2, 3, 6)):
+                p = F.adaptive_avg_pool2d(top, s)
+                p = cm_t(p, f"psp{i}", 0)
+                psp_outs.append(up(p, top.shape[2:]))
+            psp = cm_t(torch.cat(psp_outs, 1), "bottleneck", 1)
+            laterals = [cm_t(tfeats[i], f"lat{i}", 0) for i in range(3)]
+            laterals.append(psp)
+            for i in range(3, 0, -1):
+                laterals[i - 1] = laterals[i - 1] + up(
+                    laterals[i], laterals[i - 1].shape[2:])
+            fpn_outs = [cm_t(laterals[i], f"fpn{i}", 1) for i in range(3)]
+            fpn_outs.append(laterals[-1])
+            for i in range(3, 0, -1):
+                fpn_outs[i] = up(fpn_outs[i], fpn_outs[0].shape[2:])
+            xcat = cm_t(torch.cat(fpn_outs, 1), "fpn_bottleneck", 1)
+            ref = F.conv2d(xcat, t(clsW), t(clsB)).numpy()
+            aux = cm_t(tfeats[2], "aux0", 1)
+            ref_aux = F.conv2d(aux, t(auxW), t(auxB)).numpy()
+
+        def cm_j(name):
+            p = store[name]
+            return ({"conv": {"kernel": np.transpose(p["w"], (2, 3, 1, 0))},
+                     "bn": {"scale": p["scale"], "bias": p["bias"]}},
+                    {"bn": {"mean": p["mean"], "var": p["var"]}})
+
+        params, stats = {}, {}
+        for src, dst in [("psp0", "psp_block0"), ("psp1", "psp_block1"),
+                         ("psp2", "psp_block2"), ("psp3", "psp_block3"),
+                         ("bottleneck", "bottleneck"),
+                         ("lat0", "lateral0"), ("lat1", "lateral1"),
+                         ("lat2", "lateral2"), ("fpn0", "fpn0"),
+                         ("fpn1", "fpn1"), ("fpn2", "fpn2"),
+                         ("fpn_bottleneck", "fpn_bottleneck")]:
+            params[dst], stats[dst] = cm_j(src)
+        params["classifier"] = {"kernel": np.transpose(clsW, (2, 3, 1, 0)),
+                                "bias": clsB}
+        aux_p, aux_s = cm_j("aux0")
+        aux_params = {"conv0": aux_p,
+                      "classifier": {"kernel": np.transpose(auxW,
+                                                            (2, 3, 1, 0)),
+                                     "bias": auxB}}
+        aux_stats = {"conv0": aux_s}
+
+        head = UperNetHead(ncls, in_channels=dims, channels=ch)
+        aux_head = UperNetFCNHead(ncls, channels=6)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            got = head.apply({"params": params, "batch_stats": stats},
+                             [jnp.asarray(f) for f in feats_np])
+            got_aux = aux_head.apply(
+                {"params": aux_params, "batch_stats": aux_stats},
+                [jnp.asarray(f) for f in feats_np])
+            got, got_aux = np.asarray(got), np.asarray(got_aux)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        np.testing.assert_allclose(got, np.moveaxis(ref, 1, -1), atol=1e-10)
+        np.testing.assert_allclose(got_aux, np.moveaxis(ref_aux, 1, -1),
+                                   atol=1e-10)
