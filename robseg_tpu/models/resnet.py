@@ -73,6 +73,8 @@ class ResNetStages(nn.Module):
     deep_base: bool = True
     strides: Sequence[int] = (1, 2, 1, 1)
     dilations: Sequence[int] = (1, 1, 2, 4)
+    planes: Sequence[int] = (64, 128, 256, 512)
+    stem_channels: Sequence[int] = (64, 64, 128)  # deep-base stem widths
     bn_axis_name: Optional[str] = None
 
     @nn.compact
@@ -81,16 +83,17 @@ class ResNetStages(nn.Module):
         bn = lambda name: _BN(self.bn_axis_name, name=name)  # noqa: E731
         if self.deep_base:
             # clean=True stem: 3x conv3x3 (64, 64, 128); resnet_ddcat.py:120-131
-            x = nn.relu(bn("bn1")(nn.Conv(64, (3, 3), strides=2, padding=1,
+            s1, s2, s3 = self.stem_channels
+            x = nn.relu(bn("bn1")(nn.Conv(s1, (3, 3), strides=2, padding=1,
                                           use_bias=False, name="conv1")(x),
                                   train))
-            x = nn.relu(bn("bn2")(nn.Conv(64, (3, 3), padding=1,
+            x = nn.relu(bn("bn2")(nn.Conv(s2, (3, 3), padding=1,
                                           use_bias=False, name="conv2")(x),
                                   train))
-            x = nn.relu(bn("bn3")(nn.Conv(128, (3, 3), padding=1,
+            x = nn.relu(bn("bn3")(nn.Conv(s3, (3, 3), padding=1,
                                           use_bias=False, name="conv3")(x),
                                   train))
-            inplanes = 128
+            inplanes = s3
         else:
             x = nn.relu(bn("bn1")(nn.Conv(64, (7, 7), strides=2, padding=3,
                                           use_bias=False, name="conv1")(x),
@@ -98,7 +101,7 @@ class ResNetStages(nn.Module):
             inplanes = 64
         x = max_pool_same(x, 3, 2, 1)
 
-        planes = (64, 128, 256, 512)
+        planes = self.planes
         feats = []
         for s in range(4):
             for b in range(self.layers[s]):

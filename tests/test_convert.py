@@ -601,3 +601,123 @@ class TestUperNetHeadNumericalParity:
         np.testing.assert_allclose(got, np.moveaxis(ref, 1, -1), atol=1e-10)
         np.testing.assert_allclose(got_aux, np.moveaxis(ref_aux, 1, -1),
                                    atol=1e-10)
+
+
+class TestResNetDilationParity:
+    def test_dilated_stages_match_torch(self, rng):
+        """f64 parity of the deep-base ResNet with the PSPNet dilation
+        surgery (layer3 dil 2 / layer4 dil 4, strides 1, downsample stride 1
+        — ddcat_psp.py:428-437) against a torch transcription."""
+        from robseg_tpu.models.resnet import ResNetStages
+        layers = (1, 1, 1, 1)  # one bottleneck per stage keeps it fast
+        planes = (4, 8, 16, 32)
+        strides = (1, 2, 1, 1)
+        dils = (1, 1, 2, 4)
+        rng_np = np.random.default_rng(11)
+        store = {}
+
+        def bn_p(name, c):
+            store[name] = dict(scale=rng_np.random(c) + 0.5,
+                               bias=rng_np.normal(size=c) * 0.1,
+                               mean=rng_np.normal(size=c) * 0.1,
+                               var=rng_np.random(c) + 0.5)
+
+        def conv_p(name, cin, cout, k):
+            store[name] = rng_np.normal(size=(cout, cin, k, k)) * 0.2
+
+        # deep-base stem
+        conv_p("c1", 3, 4, 3); bn_p("b1", 4)
+        conv_p("c2", 4, 4, 3); bn_p("b2", 4)
+        conv_p("c3", 4, 8, 3); bn_p("b3", 8)
+        inp = 8
+        for s in range(4):
+            p = planes[s]
+            conv_p(f"l{s}.conv1", inp, p, 1); bn_p(f"l{s}.bn1", p)
+            conv_p(f"l{s}.conv2", p, p, 3); bn_p(f"l{s}.bn2", p)
+            conv_p(f"l{s}.conv3", p, p * 4, 1); bn_p(f"l{s}.bn3", p * 4)
+            conv_p(f"l{s}.ds", inp, p * 4, 1); bn_p(f"l{s}.dsbn", p * 4)
+            inp = p * 4
+
+        def t(v):
+            return torch.from_numpy(np.asarray(v)).double()
+
+        def bn_t(x, name):
+            p = store[name]
+            return F.batch_norm(x, t(p["mean"]), t(p["var"]), t(p["scale"]),
+                                t(p["bias"]), training=False, eps=1e-5)
+
+        def torch_fwd(x):
+            x = F.relu(bn_t(F.conv2d(x, t(store["c1"]), None, stride=2,
+                                     padding=1), "b1"))
+            x = F.relu(bn_t(F.conv2d(x, t(store["c2"]), None, padding=1),
+                            "b2"))
+            x = F.relu(bn_t(F.conv2d(x, t(store["c3"]), None, padding=1),
+                            "b3"))
+            x = F.max_pool2d(x, 3, 2, 1)
+            outs = []
+            for s in range(4):
+                res = bn_t(F.conv2d(x, t(store[f"l{s}.ds"]), None,
+                                    stride=strides[s]), f"l{s}.dsbn")
+                y = F.relu(bn_t(F.conv2d(x, t(store[f"l{s}.conv1"]), None),
+                                f"l{s}.bn1"))
+                y = F.relu(bn_t(F.conv2d(y, t(store[f"l{s}.conv2"]), None,
+                                         stride=strides[s],
+                                         padding=dils[s],
+                                         dilation=dils[s]), f"l{s}.bn2"))
+                y = bn_t(F.conv2d(y, t(store[f"l{s}.conv3"]), None),
+                         f"l{s}.bn3")
+                x = F.relu(y + res)
+                outs.append(x)
+            return outs[2].numpy(), outs[3].numpy()
+
+        x_np = rng.random((1, 33, 33, 3)).astype(np.float64)
+        with torch.no_grad():
+            r3, r4 = torch_fwd(torch.from_numpy(
+                np.moveaxis(x_np, -1, 1).copy()).double())
+
+        params, stats = {}, {}
+
+        def put_bn(dst, name):
+            p = store[name]
+            params.setdefault(dst, {})["bn"] = {"scale": p["scale"],
+                                                "bias": p["bias"]}
+            stats.setdefault(dst, {})["bn"] = {"mean": p["mean"],
+                                               "var": p["var"]}
+
+        def put_conv(dst, name):
+            params[dst] = {"kernel": np.transpose(store[name], (2, 3, 1, 0))}
+
+        put_conv("conv1", "c1"); put_bn("bn1", "b1")
+        put_conv("conv2", "c2"); put_bn("bn2", "b2")
+        put_conv("conv3", "c3"); put_bn("bn3", "b3")
+        for s in range(4):
+            blk = {}
+            bst = {}
+            for c in (1, 2, 3):
+                blk[f"conv{c}"] = {"kernel": np.transpose(
+                    store[f"l{s}.conv{c}"], (2, 3, 1, 0))}
+                p = store[f"l{s}.bn{c}"]
+                blk[f"bn{c}"] = {"bn": {"scale": p["scale"],
+                                        "bias": p["bias"]}}
+                bst[f"bn{c}"] = {"bn": {"mean": p["mean"], "var": p["var"]}}
+            blk["downsample_conv"] = {"kernel": np.transpose(
+                store[f"l{s}.ds"], (2, 3, 1, 0))}
+            p = store[f"l{s}.dsbn"]
+            blk["downsample_bn"] = {"bn": {"scale": p["scale"],
+                                           "bias": p["bias"]}}
+            bst["downsample_bn"] = {"bn": {"mean": p["mean"],
+                                           "var": p["var"]}}
+            params[f"layer{s + 1}_block0"] = blk
+            stats[f"layer{s + 1}_block0"] = bst
+
+        m = ResNetStages(layers=layers, deep_base=True,
+                         planes=planes, stem_channels=(4, 4, 8))
+        jax.config.update("jax_enable_x64", True)
+        try:
+            f3, f4 = m.apply({"params": params, "batch_stats": stats},
+                             jnp.asarray(x_np))
+            f3, f4 = np.asarray(f3), np.asarray(f4)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        np.testing.assert_allclose(f3, np.moveaxis(r3, 1, -1), atol=1e-10)
+        np.testing.assert_allclose(f4, np.moveaxis(r4, 1, -1), atol=1e-10)
