@@ -721,3 +721,156 @@ class TestResNetDilationParity:
             jax.config.update("jax_enable_x64", False)
         np.testing.assert_allclose(f3, np.moveaxis(r3, 1, -1), atol=1e-10)
         np.testing.assert_allclose(f4, np.moveaxis(r4, 1, -1), atol=1e-10)
+
+
+class TestSegmenterFullParity:
+    def test_encoder_decoder_composition_matches_torch(self, rng):
+        """f64 parity of the full Segmenter path (patch embed + cls token +
+        pos embed + blocks + LN; decoder proj + class-embed concat + blocks
+        + L2-normalized mask dot-product + mask LN + upsample/unpad) against
+        a torch transcription of segmenter.py:212-231 /
+        segmenter_decoder.py:76-99 / vit_encoder.py:265-294."""
+        d, heads, ncls, ps = 64, 4, 3, 4
+        hw = 12  # not divisible by ps=4? 12 is; use 10 to exercise padding
+        hw = 10
+        n_layers, dec_layers = 2, 1
+        rng_np = np.random.default_rng(2)
+        store = {}
+
+        def lin(name, cin, cout):
+            store[name] = (rng_np.normal(size=(cout, cin)) * 0.2,
+                           rng_np.normal(size=cout) * 0.1)
+
+        def ln(name, c):
+            store[name] = (rng_np.random(c) + 0.5,
+                           rng_np.normal(size=c) * 0.1)
+
+        store["patch_w"] = rng_np.normal(size=(d, 3, ps, ps)) * 0.2
+        store["patch_b"] = rng_np.normal(size=d) * 0.1
+        grid = 12 // ps  # native grid from image_size=12
+        store["cls_token"] = rng_np.normal(size=(1, 1, d)) * 0.02
+        store["pos"] = rng_np.normal(size=(1, grid * grid + 1, d)) * 0.02
+        for i in range(n_layers):
+            ln(f"e{i}.n1", d); ln(f"e{i}.n2", d)
+            lin(f"e{i}.qkv", d, 3 * d); lin(f"e{i}.proj", d, d)
+            lin(f"e{i}.fc1", d, 4 * d); lin(f"e{i}.fc2", 4 * d, d)
+        ln("enorm", d)
+        lin("proj_dec", d, d)
+        store["cls_emb"] = rng_np.normal(size=(1, ncls, d)) * 0.02
+        for i in range(dec_layers):
+            ln(f"d{i}.n1", d); ln(f"d{i}.n2", d)
+            lin(f"d{i}.qkv", d, 3 * d); lin(f"d{i}.proj", d, d)
+            lin(f"d{i}.fc1", d, 4 * d); lin(f"d{i}.fc2", 4 * d, d)
+        ln("dnorm", d)
+        store["proj_patch"] = rng_np.normal(size=(d, d)) * (d ** -0.5)
+        store["proj_classes"] = rng_np.normal(size=(d, d)) * (d ** -0.5)
+        ln("mask_norm", ncls)
+
+        def t(v):
+            return torch.from_numpy(np.asarray(v)).double()
+
+        def blk_t(x, p, nh):
+            h = F.layer_norm(x, (d,), t(store[f"{p}.n1"][0]),
+                             t(store[f"{p}.n1"][1]), 1e-6)
+            qkv = F.linear(h, t(store[f"{p}.qkv"][0]), t(store[f"{p}.qkv"][1]))
+            b, n, _ = qkv.shape
+            qkv = qkv.reshape(b, n, 3, nh, d // nh).permute(
+                2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            att = (q @ k.transpose(-2, -1)) * (d // nh) ** -0.5
+            h = (att.softmax(-1) @ v).transpose(1, 2).reshape(b, n, d)
+            x = x + F.linear(h, t(store[f"{p}.proj"][0]),
+                             t(store[f"{p}.proj"][1]))
+            h = F.layer_norm(x, (d,), t(store[f"{p}.n2"][0]),
+                             t(store[f"{p}.n2"][1]), 1e-6)
+            h = F.gelu(F.linear(h, t(store[f"{p}.fc1"][0]),
+                                t(store[f"{p}.fc1"][1])))
+            return x + F.linear(h, t(store[f"{p}.fc2"][0]),
+                                t(store[f"{p}.fc2"][1]))
+
+        def torch_fwd(x_np):
+            im = torch.from_numpy(np.moveaxis(x_np, -1, 1).copy()).double()
+            H0, W0 = im.shape[2], im.shape[3]
+            pad_h, pad_w = (-H0) % ps, (-W0) % ps
+            im = F.pad(im, (0, pad_w, 0, pad_h))
+            Hp, Wp = im.shape[2], im.shape[3]
+            x = F.conv2d(im, t(store["patch_w"]), t(store["patch_b"]),
+                         stride=ps)
+            gh, gw = x.shape[2], x.shape[3]
+            x = x.flatten(2).transpose(1, 2)
+            x = torch.cat([t(store["cls_token"]).expand(1, -1, -1), x], 1)
+            pos = t(store["pos"])
+            if x.shape[1] != pos.shape[1]:
+                tok, gridp = pos[:, :1], pos[0, 1:]
+                gridp = gridp.reshape(1, grid, grid, d).permute(0, 3, 1, 2)
+                gridp = F.interpolate(gridp, size=(gh, gw), mode="bilinear")
+                gridp = gridp.permute(0, 2, 3, 1).reshape(1, gh * gw, d)
+                pos = torch.cat([tok, gridp], 1)
+            x = x + pos
+            for i in range(n_layers):
+                x = blk_t(x, f"e{i}", heads)
+            x = F.layer_norm(x, (d,), t(store["enorm"][0]),
+                             t(store["enorm"][1]), 1e-6)
+            x = x[:, 1:]
+            x = F.linear(x, t(store["proj_dec"][0]), t(store["proj_dec"][1]))
+            x = torch.cat([x, t(store["cls_emb"]).expand(1, -1, -1)], 1)
+            for i in range(dec_layers):
+                x = blk_t(x, f"d{i}", d // 64)
+            x = F.layer_norm(x, (d,), t(store["dnorm"][0]),
+                             t(store["dnorm"][1]), 1e-6)
+            patches, clsf = x[:, :-ncls], x[:, -ncls:]
+            patches = patches @ t(store["proj_patch"])
+            clsf = clsf @ t(store["proj_classes"])
+            patches = patches / patches.norm(dim=-1, keepdim=True)
+            clsf = clsf / clsf.norm(dim=-1, keepdim=True)
+            masks = patches @ clsf.transpose(1, 2)
+            masks = F.layer_norm(masks, (ncls,), t(store["mask_norm"][0]),
+                                 t(store["mask_norm"][1]), 1e-6)
+            masks = masks.reshape(1, gh, gw, ncls).permute(0, 3, 1, 2)
+            masks = F.interpolate(masks, size=(Hp, Wp), mode="bilinear",
+                                  align_corners=False)
+            return masks[:, :, :H0, :W0].numpy()
+
+        # build the flax param tree
+        def lin_j(name):
+            w, b = store[name]
+            return {"kernel": w.T, "bias": b}
+
+        def ln_j(name):
+            w, b = store[name]
+            return {"scale": w, "bias": b}
+
+        def blk_j(p):
+            return {"norm1": ln_j(f"{p}.n1"), "norm2": ln_j(f"{p}.n2"),
+                    "attn": {"qkv": lin_j(f"{p}.qkv"),
+                             "proj": lin_j(f"{p}.proj")},
+                    "mlp": {"fc1": lin_j(f"{p}.fc1"),
+                            "fc2": lin_j(f"{p}.fc2")}}
+
+        enc = {"patch_embed": {"kernel": np.transpose(store["patch_w"],
+                                                      (2, 3, 1, 0)),
+                               "bias": store["patch_b"]},
+               "cls_token": store["cls_token"], "pos_embed": store["pos"],
+               "norm": ln_j("enorm")}
+        for i in range(n_layers):
+            enc[f"block{i}"] = blk_j(f"e{i}")
+        dec = {"proj_dec": lin_j("proj_dec"), "cls_emb": store["cls_emb"],
+               "proj_patch": store["proj_patch"],
+               "proj_classes": store["proj_classes"],
+               "decoder_norm": ln_j("dnorm"), "mask_norm": ln_j("mask_norm")}
+        for i in range(dec_layers):
+            dec[f"block{i}"] = blk_j(f"d{i}")
+        params = {"encoder": enc, "decoder": dec}
+
+        m = models.SegMenter(n_cls=ncls, image_size=(12, 12), patch_size=ps,
+                             n_layers=n_layers, d_model=d, n_heads=heads,
+                             dropout=0.0, drop_path_rate=0.0,
+                             decoder_n_layers=dec_layers)
+        x_np = rng.random((1, hw, hw, 3)).astype(np.float64)
+        ref = torch_fwd(x_np)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            got = np.asarray(m.apply({"params": params}, jnp.asarray(x_np)))
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        np.testing.assert_allclose(got, np.moveaxis(ref, 1, -1), atol=1e-9)
