@@ -122,7 +122,7 @@ def run_attack_over_loader(logits_fn: Callable, batches: Iterable, *,
                            track_loss: str = "ce-avg",
                            early_stop: bool = True, use_rs: bool = True,
                            n_batches: int = -1, seed: int = 0,
-                           verbose: bool = False):
+                           verbose: bool = False, mesh=None):
     """Attack every batch; returns list of (x_adv, y) numpy pairs.
 
     Parity: ``tools/infer.py:136-155`` + the ``attack_fn`` partial
@@ -137,6 +137,12 @@ def run_attack_over_loader(logits_fn: Callable, batches: Iterable, *,
         if batch_size is None:
             batch_size = x.shape[0]
         x_p, y_p, n_real = _pad_batch(x, y, batch_size)
+        if mesh is not None:
+            # pod-scale SEA: shard the batch over the data mesh; APGD is
+            # per-image independent, results identical (tested)
+            from robseg_tpu.parallel import shard_batch
+            x_p, y_p = shard_batch(mesh, (jnp.asarray(x_p),
+                                          jnp.asarray(y_p)))
         rng, sub = jax.random.split(rng)
         x_adv, _, _ = apgd_largereps(
             logits_fn, jnp.asarray(x_p), jnp.asarray(y_p), weights=w,
@@ -157,7 +163,7 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
             weights: Optional[np.ndarray] = None, n_batches: int = -1,
             losses: Sequence[str] = SEA_LOSSES, seed: int = 225,
             verbose: bool = False,
-            resume_dir: Optional[str] = None) -> Dict:
+            resume_dir: Optional[str] = None, mesh=None) -> Dict:
     """Full SEA evaluation; parity ``tools/infer.py:313-403``.
 
     ``make_loader`` returns a fresh iterable of (images, labels) batches.
@@ -199,7 +205,7 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
         adv_batches = run_attack_over_loader(
             logits_fn, make_loader(), loss=loss, eps=eps, n_iter=n_iter,
             weights=weights, n_batches=n_batches, seed=seed + li,
-            verbose=verbose)
+            verbose=verbose, mesh=mesh)
         stats, preds = eval_performance(
             logits_fn, adv_batches, num_classes=num_classes,
             n_batches=n_batches)

@@ -507,3 +507,26 @@ class TestConvModelIntegrationGolden:
             jax.config.update("jax_enable_x64", False)
         np.testing.assert_allclose(res.loss_best, ref[2], atol=1e-7)
         np.testing.assert_allclose(res.x_best_adv, ref[3], atol=1e-7)
+
+
+class TestShardedAttack:
+    def test_apgd_matches_single_device_when_batch_sharded(self, rng):
+        """Pod-scale SEA: APGD is per-image independent (the only cross-
+        image term is the early-stop sum), so sharding the batch over a
+        mesh must reproduce single-device results exactly."""
+        from robseg_tpu.parallel import make_data_mesh, shard_batch
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((8, H, W, 3)).astype(np.float32)
+        y = rng.integers(0, C, size=(8, H, W)).astype(np.int32)
+
+        res1 = apgd_attack(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                           norm="Linf", eps=EPS, n_iter=10,
+                           loss="ce-avg", track_loss="ce-avg")
+        mesh = make_data_mesh(8)
+        bx, by = shard_batch(mesh, (jnp.asarray(x), jnp.asarray(y)))
+        res8 = apgd_attack(jax_fn, bx, by, norm="Linf", eps=EPS,
+                           n_iter=10, loss="ce-avg", track_loss="ce-avg")
+        np.testing.assert_allclose(np.asarray(res8.x_best_adv),
+                                   np.asarray(res1.x_best_adv), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res8.acc),
+                                   np.asarray(res1.acc), atol=1e-6)

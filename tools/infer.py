@@ -56,6 +56,9 @@ def main():
     parser.add_argument("--msf", action="store_true",
                         help="multi-scale + flip clean eval "
                              "(with --no-adversarial)")
+    parser.add_argument("--shard", action="store_true",
+                        help="shard attack batches over all devices "
+                             "(pod-scale SEA; per-image results identical)")
     parser.add_argument("--ckpt", type=str, default=None,
                         help=".npz params checkpoint (overrides EVAL.MODEL_PATH)")
     parser.add_argument("--precision", type=str, default="default",
@@ -158,10 +161,14 @@ def main():
     stats_dir = os.path.join(save_dir, "sea-stats")
     os.makedirs(stats_dir, exist_ok=True)
     for eps in eps_list:
+        mesh = None
+        if args.shard:
+            from robseg_tpu.parallel import make_data_mesh
+            mesh = make_data_mesh()
         results = run_sea(logits_fn, make_loader, num_classes=n_cls,
                           eps=eps / 255.0, n_iter=args.n_iter,
                           weights=weights, n_batches=args.n_batches,
-                          seed=SEED, verbose=True,
+                          seed=SEED, verbose=True, mesh=mesh,
                           resume_dir=os.path.join(save_dir, "argmax-logs"))
         logger.log(json.dumps(results, indent=2, default=float))
         # per-attack text reports; parity: writeIndivloss
