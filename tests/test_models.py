@@ -105,3 +105,24 @@ class TestWrappers:
         np.testing.assert_array_equal(np.asarray(out[0, 0, 0]), [1, 2, 3])
         out = models.mask_class(logits, 2)
         np.testing.assert_array_equal(np.asarray(out[0, 0, 0]), [0, 1, 3])
+
+
+class TestModelBundle:
+    def test_bundle_logits_and_explicit_params(self):
+        from robseg_tpu.models import ModelBundle, PSPNet
+        m = PSPNet(classes=5)
+        b = ModelBundle.create(m, jax.random.PRNGKey(0),
+                               input_shape=(1, 33, 33, 3))
+        out = b.logits_fn(jnp.zeros((1, 33, 33, 3)))
+        assert out.shape == (1, 33, 33, 5)
+        fn = b.make_logits_fn()
+        out2 = fn(jnp.zeros((1, 33, 33, 3)))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def test_bundle_normalize_wrapper(self):
+        from robseg_tpu.models import ModelBundle, PSPNet
+        m = PSPNet(classes=5)
+        b = ModelBundle.create(m, jax.random.PRNGKey(0),
+                               input_shape=(1, 33, 33, 3), normalize=True)
+        out = b.logits_fn(jnp.full((1, 33, 33, 3), 0.5))
+        assert np.all(np.isfinite(np.asarray(out)))
