@@ -218,3 +218,29 @@ class TestVOCAug:
         assert img.shape == (48, 48, 3)
         assert mask.shape == (48, 48) and mask.dtype == np.int32
         assert 0 <= mask.min() and mask.max() < 21
+
+
+class TestADE20K:
+    def test_fake_tree_loading(self, tmp_path):
+        root = tmp_path / "ade"
+        base = root / "ADEChallengeData2016"
+        (base / "images/validation").mkdir(parents=True)
+        (base / "annotations/validation").mkdir(parents=True)
+        for i in range(2):
+            n = f"ADE_val_{i:08d}"
+            arr = (np.random.default_rng(i).random((70, 90, 3)) * 255
+                   ).astype(np.uint8)
+            Image.fromarray(arr).save(
+                base / "images/validation" / f"{n}.jpg")
+            m = np.random.default_rng(9 + i).integers(
+                0, 151, (70, 90)).astype(np.uint8)
+            Image.fromarray(m).save(
+                base / "annotations/validation" / f"{n}.png")
+        from robseg_tpu.data import ADE20KSegmentation
+        ds = ADE20KSegmentation(str(root), split="val", mode="val",
+                                base_size=80, crop_size=64)
+        assert len(ds) == 2
+        img, mask = ds[0]
+        assert img.shape == (64, 64, 3)
+        assert mask.dtype == np.int32
+        assert 0 <= mask.min() and mask.max() < 151  # offset 0 (parity)
