@@ -184,3 +184,27 @@ class TestOrbaxCheckpoint:
         np.testing.assert_array_equal(np.asarray(restored.rng),
                                       np.asarray(jax.random.PRNGKey(3)))
         mgr.close()
+
+
+class TestLossFnFamilies:
+    def test_make_loss_fn_all_families(self):
+        from robseg_tpu.train.trainer import make_loss_fn
+        rngs = {"dropout": jax.random.PRNGKey(1),
+                "droppath": jax.random.PRNGKey(2)}
+
+        psp = models.PSPNet(classes=4)
+        v = psp.init(jax.random.PRNGKey(0), jnp.zeros((1, 33, 33, 3)),
+                     labels=jnp.zeros((1, 33, 33), jnp.int32))
+        loss, bs = make_loss_fn(psp, "PSPNet")(
+            v["params"], v.get("batch_stats", {}),
+            jnp.zeros((1, 33, 33, 3)), jnp.zeros((1, 33, 33), jnp.int32),
+            rngs)
+        assert jnp.isfinite(loss) and bs  # BN stats updated
+
+        seg = models.create_segmenter("vit_small_patch16_224", n_cls=4,
+                                      image_size=(32, 32))
+        v = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        loss, bs = make_loss_fn(seg, "SegMenter")(
+            v["params"], {}, jnp.zeros((1, 32, 32, 3)),
+            jnp.zeros((1, 32, 32), jnp.int32), rngs)
+        assert jnp.isfinite(loss) and not bs  # no BN in Segmenter
