@@ -90,6 +90,9 @@ def main():
     if ckpt_path and os.path.exists(str(ckpt_path)):
         if str(ckpt_path).endswith(".npz"):
             params = load_params_npz(ckpt_path, params)
+            stats_path = str(ckpt_path).replace(".npz", ".stats.npz")
+            if batch_stats and os.path.exists(stats_path):
+                batch_stats = load_params_npz(stats_path, batch_stats)
         else:
             import torch
             from robseg_tpu.convert import (convert_upernet, convert_pspnet,
