@@ -23,7 +23,7 @@ from robseg_tpu.models.segmenter import (  # noqa: F401
     SegMenter, MaskTransformer, DecoderLinear)
 from robseg_tpu.models.resnet import ResNetStages, Bottleneck  # noqa: F401
 from robseg_tpu.models.pspnet import (  # noqa: F401
-    PSPNet, PSPNetDDCAT, DeepLabV3, PPM, ASPP)
+    PSPNet, PSPNetDDCAT, DeepLabV3, DeepLabV3DDCAT, PPM, ASPP)
 from robseg_tpu.models.wrappers import (  # noqa: F401
     normalize_input, normalize_model, mask_class, mask_logits)
 
@@ -78,6 +78,8 @@ def build_model(model_name: str, backbone: str, n_cls: int,
         return PSPNetDDCAT(classes=n_cls, bn_axis_name=bn_axis_name)
     if model_name == "DeepLabV3":
         return DeepLabV3(classes=n_cls, bn_axis_name=bn_axis_name)
+    if model_name == "DeepLabV3_DDCAT":
+        return DeepLabV3DDCAT(classes=n_cls, bn_axis_name=bn_axis_name)
     raise ValueError(f"Unknown model {model_name!r}")
 
 

@@ -197,6 +197,51 @@ class PSPNetDDCAT(nn.Module):
         return final, aux, mask, normal
 
 
+class DeepLabV3DDCAT(nn.Module):
+    """Dual-branch DDCAT DeepLabV3; parity ``ddcat_psp.py:192-369``.
+
+    Same normal/adversarial classifier pair + 2-way mask selector as
+    PSPNetDDCAT, over ASPP features; eval returns the normal branch
+    (``:367-369``); heads are 1x1 convs (``:256-288``).
+    """
+    classes: int = 21
+    atrous_rates: Sequence[int] = (6, 12, 18)
+    dropout: float = 0.1
+    zoom_factor: int = 8
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False, indicate: int = 0):
+        assert (x.shape[1] - 1) % 8 == 0 and (x.shape[2] - 1) % 8 == 0
+        out_hw = _zoom_hw(x, self.zoom_factor)
+        x3, x4 = ResNetStages(deep_base=False,
+                              bn_axis_name=self.bn_axis_name,
+                              name="backbone")(x, train)
+        feat = ASPP(256, self.atrous_rates,
+                    bn_axis_name=self.bn_axis_name, name="aspp")(x4, train)
+        normal = _ClsHead(256, self.classes, 1, self.dropout,
+                          self.bn_axis_name, name="cls1")(feat, train)
+        adver = _ClsHead(256, self.classes, 1, self.dropout,
+                         self.bn_axis_name, name="cls2")(feat, train)
+        mask = _ClsHead(256, 2, 1, self.dropout,
+                        self.bn_axis_name, name="mask1")(feat, train)
+        if self.zoom_factor != 1:
+            normal = resize_bilinear(normal, out_hw, align_corners=True)
+            adver = resize_bilinear(adver, out_hw, align_corners=True)
+            mask = resize_bilinear(mask, out_hw, align_corners=True)
+        if not (train or indicate == 1) and not self.is_initializing():
+            return normal
+        sel = jnp.argmax(mask, axis=-1)[..., None].astype(normal.dtype)
+        final = sel * adver + (1.0 - sel) * normal
+        aux = _ClsHead(256, self.classes, 1, self.dropout,
+                       self.bn_axis_name, name="aux_cls1")(x3, train)
+        if not (train or indicate == 1):
+            return normal
+        if self.zoom_factor != 1:
+            aux = resize_bilinear(aux, out_hw, align_corners=True)
+        return final, aux, mask, normal
+
+
 class DeepLabV3(nn.Module):
     """DeepLabV3-ResNet50 with ASPP; parity ``ddcat_psp.py:84-189``."""
     classes: int = 21

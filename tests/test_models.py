@@ -126,3 +126,15 @@ class TestModelBundle:
                                input_shape=(1, 33, 33, 3), normalize=True)
         out = b.logits_fn(jnp.full((1, 33, 33, 3), 0.5))
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestDeepLabDDCAT:
+    def test_eval_and_indicate_branches(self):
+        m = models.DeepLabV3DDCAT(classes=4)
+        x = jnp.zeros((1, 33, 33, 3))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        logits = m.apply(variables, x)
+        assert logits.shape == (1, 33, 33, 4)
+        final, aux, mask, normal = m.apply(variables, x, indicate=1)
+        assert final.shape == (1, 33, 33, 4)
+        assert mask.shape == (1, 33, 33, 2)
