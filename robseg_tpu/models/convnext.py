@@ -38,27 +38,52 @@ CONVNEXT_SETTINGS = {
 
 
 class ConvNeXtBlock(nn.Module):
-    """dwconv7x7 -> LN -> Dense 4x -> GELU -> Dense -> gamma -> droppath."""
+    """dwconv7x7 -> LN -> Dense 4x -> GELU -> Dense -> gamma -> droppath.
+
+    ``fused_mlp=True`` routes the LN/MLP/gamma branch through the Pallas
+    kernel (``kernels/convnext_mlp.py``): the 4x-width hidden never touches
+    HBM. Same param tree either way; fused mode differentiates w.r.t.
+    activations only (attack/eval use — not for weight training).
+    """
     dim: int
     drop_path: float = 0.0
     layer_scale_init_value: float = 1.0
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         y = nn.Conv(self.dim, (7, 7), padding=3,
                     feature_group_count=self.dim,
                     kernel_init=trunc_normal_init(0.02), name="dwconv")(x)
-        y = nn.LayerNorm(epsilon=1e-6, name="norm")(y)
-        y = nn.Dense(4 * self.dim, kernel_init=trunc_normal_init(0.02),
-                     name="pwconv1")(y)
-        y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, kernel_init=trunc_normal_init(0.02),
-                     name="pwconv2")(y)
+        norm = nn.LayerNorm(epsilon=1e-6, name="norm")
+        pw1 = nn.Dense(4 * self.dim, kernel_init=trunc_normal_init(0.02),
+                       name="pwconv1")
+        pw2 = nn.Dense(self.dim, kernel_init=trunc_normal_init(0.02),
+                       name="pwconv2")
         gamma = self.param(
             "gamma",
             nn.initializers.constant(self.layer_scale_init_value),
             (self.dim,))
-        y = gamma * y
+        if self.fused_mlp and not self.is_initializing():
+            # create the params with dummy calls (dead code after DCE),
+            # then read them raw for the kernel
+            dummy = jnp.zeros((1, self.dim), y.dtype)
+            norm(dummy)
+            pw1(dummy)
+            pw2(jnp.zeros((1, 4 * self.dim), y.dtype))
+            from robseg_tpu.kernels.convnext_mlp import convnext_mlp_fused
+            np_ = norm.variables["params"]
+            p1 = pw1.variables["params"]
+            p2 = pw2.variables["params"]
+            y = convnext_mlp_fused(y, np_["scale"], np_["bias"],
+                                   p1["kernel"], p1["bias"],
+                                   p2["kernel"], p2["bias"], gamma)
+        else:
+            y = norm(y)
+            y = pw1(y)
+            y = nn.gelu(y, approximate=False)
+            y = pw2(y)
+            y = gamma * y
         y = DropPath(self.drop_path, name="drop_path")(y, deterministic)
         return x + y
 
@@ -102,6 +127,7 @@ class ConvNeXt(nn.Module):
     variant: str = "T"
     layer_scale_init_value: float = 1.0
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    fused_mlp: bool = False  # Pallas LN/MLP fusion (attack/eval only)
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True
@@ -127,6 +153,7 @@ class ConvNeXt(nn.Module):
                 x = ConvNeXtBlock(
                     dims[i], drop_path=float(dp_rates[cur + j]),
                     layer_scale_init_value=self.layer_scale_init_value,
+                    fused_mlp=self.fused_mlp,
                     name=f"stage{i}_block{j}")(x, deterministic)
             cur += depths[i]
             if i in self.out_indices:

@@ -94,12 +94,13 @@ class UperNetForSemanticSegmentation(nn.Module):
     backbone_variant: str = "T_CVST"
     num_classes: int = 21
     bn_axis_name: Optional[str] = None
+    fused_mlp: bool = False  # Pallas ConvNeXt LN/MLP fusion (eval/attack)
 
     @nn.compact
     def __call__(self, x: Array, labels: Optional[Array] = None,
                  train: bool = False):
-        feats = ConvNeXt(self.backbone_variant, name="backbone")(
-            x, deterministic=not train)
+        feats = ConvNeXt(self.backbone_variant, fused_mlp=self.fused_mlp,
+                         name="backbone")(x, deterministic=not train)
         dims = CONVNEXT_SETTINGS[self.backbone_variant][1]
         logits = UperNetHead(self.num_classes, in_channels=dims,
                              bn_axis_name=self.bn_axis_name,

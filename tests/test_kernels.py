@@ -50,3 +50,70 @@ class TestApgdStepKernel:
             + (jnp.asarray(x_adv) - x_old) * (1 - a), jnp.asarray(x), eps)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-6)
+
+
+class TestConvNextMlpKernel:
+    def _params(self, rng, c=96):
+        return dict(
+            ln_scale=jnp.asarray(rng.random(c).astype(np.float32) + 0.5),
+            ln_bias=jnp.asarray(rng.normal(size=c).astype(np.float32) * 0.1),
+            w1=jnp.asarray(rng.normal(size=(c, 4 * c)).astype(np.float32)
+                           * 0.05),
+            b1=jnp.asarray(rng.normal(size=4 * c).astype(np.float32) * 0.1),
+            w2=jnp.asarray(rng.normal(size=(4 * c, c)).astype(np.float32)
+                           * 0.05),
+            b2=jnp.asarray(rng.normal(size=c).astype(np.float32) * 0.1),
+            gamma=jnp.asarray(rng.random(c).astype(np.float32)),
+        )
+
+    def test_forward_matches_reference(self, rng):
+        from robseg_tpu.kernels.convnext_mlp import (convnext_mlp_fused,
+                                                     convnext_mlp_reference)
+        from jax.experimental.pallas import tpu as pltpu
+        c = 96  # non-128-aligned channel count exercises padding/masking
+        p = self._params(rng, c)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, c)).astype(np.float32))
+        want = convnext_mlp_reference(x, **p)
+        with pltpu.force_tpu_interpret_mode():
+            got = convnext_mlp_fused(x, *[p[k] for k in
+                                          ("ln_scale", "ln_bias", "w1", "b1",
+                                           "w2", "b2", "gamma")])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_input_gradient_matches_reference(self, rng):
+        from robseg_tpu.kernels.convnext_mlp import (convnext_mlp_fused,
+                                                     convnext_mlp_reference)
+        from jax.experimental.pallas import tpu as pltpu
+        c = 96
+        p = self._params(rng, c)
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, c)).astype(np.float32))
+        args = [p[k] for k in ("ln_scale", "ln_bias", "w1", "b1", "w2",
+                               "b2", "gamma")]
+
+        def loss_ref(z):
+            return (convnext_mlp_reference(z, **p) ** 2).sum()
+
+        def loss_fused(z):
+            return (convnext_mlp_fused(z, *args) ** 2).sum()
+
+        want = jax.grad(loss_ref)(x)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_fused)(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_backbone_fused_matches_default(self, rng):
+        """Fused-MLP backbone must match the default path bit-for-bit-ish."""
+        from robseg_tpu import models
+        from jax.experimental.pallas import tpu as pltpu
+        x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+        m0 = models.ConvNeXt("T_CVST")
+        v = m0.init(jax.random.PRNGKey(0), x)
+        want = m0.apply(v, x)
+        m1 = models.ConvNeXt("T_CVST", fused_mlp=True)
+        with pltpu.force_tpu_interpret_mode():
+            got = m1.apply(v, x)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-5)
