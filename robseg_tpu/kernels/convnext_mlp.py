@@ -175,6 +175,12 @@ def _fused_bwd(res, gout):
 
 convnext_mlp_fused.defvjp(_fused_fwd, _fused_bwd)
 
+# Nested-jit wrapper: same-shape call sites share ONE subcomputation in the
+# emitted HLO instead of inlining a Mosaic kernel blob per block (the
+# 18-block UperNet attack program otherwise reaches ~237 MB of IR and can
+# overwhelm compile services).
+convnext_mlp_fused_shared = jax.jit(convnext_mlp_fused)
+
 
 def convnext_mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
     """Pure-JAX composition (the default path; also the parity oracle)."""

@@ -64,14 +64,19 @@ class ConvNeXtBlock(nn.Module):
             "gamma",
             nn.initializers.constant(self.layer_scale_init_value),
             (self.dim,))
-        if self.fused_mlp and not self.is_initializing():
+        # dim 768's weights alone need ~19 MB double-buffered VMEM, and its
+        # 16x16 spatial grid gains nothing from fusion — fuse dims <= 384
+        use_fused = (self.fused_mlp and self.dim <= 384
+                     and not self.is_initializing())
+        if use_fused:
             # create the params with dummy calls (dead code after DCE),
             # then read them raw for the kernel
             dummy = jnp.zeros((1, self.dim), y.dtype)
             norm(dummy)
             pw1(dummy)
             pw2(jnp.zeros((1, 4 * self.dim), y.dtype))
-            from robseg_tpu.kernels.convnext_mlp import convnext_mlp_fused
+            from robseg_tpu.kernels.convnext_mlp import (
+                convnext_mlp_fused_shared as convnext_mlp_fused)
             np_ = norm.variables["params"]
             p1 = pw1.variables["params"]
             p2 = pw2.variables["params"]
