@@ -163,7 +163,8 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
             weights: Optional[np.ndarray] = None, n_batches: int = -1,
             losses: Sequence[str] = SEA_LOSSES, seed: int = 225,
             verbose: bool = False,
-            resume_dir: Optional[str] = None, mesh=None) -> Dict:
+            resume_dir: Optional[str] = None, cache_tag: str = "",
+            mesh=None) -> Dict:
     """Full SEA evaluation; parity ``tools/infer.py:313-403``.
 
     ``make_loader`` returns a fresh iterable of (images, labels) batches.
@@ -171,8 +172,10 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
 
     ``resume_dir``: persist per-attack argmax predictions (the analogue of
     the reference's ``argmax-logs`` .pt dumps, ``infer.py:366-370``) and
-    skip attacks already completed for this (eps, n_iter) — a full-val SEA
-    run takes hours, so a crashed run resumes per attack.
+    skip attacks already completed for this (cache_tag, eps, n_iter) — a
+    full-val SEA run takes hours, so a crashed run resumes per attack.
+    ``cache_tag`` should identify the checkpoint (e.g. filename + mtime) so
+    stale caches are never resumed for different weights.
     """
     import os
 
@@ -189,8 +192,9 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
         cache_path = None
         if resume_dir:
             os.makedirs(resume_dir, exist_ok=True)
+            tag = f"{cache_tag}_" if cache_tag else ""
             cache_path = os.path.join(
-                resume_dir, f"argmax_{loss}_{eps:.6f}_{n_iter}.npz")
+                resume_dir, f"argmax_{tag}{loss}_{eps:.6f}_{n_iter}.npz")
         if cache_path and os.path.exists(cache_path):
             data = np.load(cache_path)
             per_loss_preds.append(data["preds"])

@@ -67,11 +67,10 @@ def main():
                              "native), f32 = reference parity")
     args = parser.parse_args()
 
-    import jax as _jax
     if args.precision == "bf16":
-        _jax.config.update("jax_default_matmul_precision", "bfloat16")
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
     elif args.precision == "f32":
-        _jax.config.update("jax_default_matmul_precision", "float32")
+        jax.config.update("jax_default_matmul_precision", "float32")
 
     cfg = load_config(args.cfg)
     dataset_cfg, test_cfg = cfg["DATASET"], cfg["EVAL"]
@@ -163,6 +162,12 @@ def main():
 
     stats_dir = os.path.join(save_dir, "sea-stats")
     os.makedirs(stats_dir, exist_ok=True)
+    # resume caches are keyed to the checkpoint identity (stale-proof)
+    if ckpt_path and os.path.exists(str(ckpt_path)):
+        cache_tag = (os.path.basename(str(ckpt_path)).replace(".", "-")
+                     + f"-{int(os.path.getmtime(str(ckpt_path)))}")
+    else:
+        cache_tag = "randominit"
     for eps in eps_list:
         mesh = None
         if args.shard:
@@ -172,6 +177,7 @@ def main():
                           eps=eps / 255.0, n_iter=args.n_iter,
                           weights=weights, n_batches=args.n_batches,
                           seed=SEED, verbose=True, mesh=mesh,
+                          cache_tag=cache_tag,
                           resume_dir=os.path.join(save_dir, "argmax-logs"))
         logger.log(json.dumps(results, indent=2, default=float))
         # per-attack text reports; parity: writeIndivloss
