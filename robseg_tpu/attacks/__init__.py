@@ -7,6 +7,6 @@ from robseg_tpu.attacks.pgd import (  # noqa: F401
 from robseg_tpu.attacks.filters import pgd_filters  # noqa: F401
 from robseg_tpu.attacks.sea import (  # noqa: F401
     SEA_LOSSES, run_sea, run_attack_over_loader, eval_performance,
-    check_imgs)
+    evaluate, check_imgs)
 from robseg_tpu.attacks.worst_case import (  # noqa: F401
     worst_case_aacc, worst_case_miou, sea_intersect_union)

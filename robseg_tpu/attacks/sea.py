@@ -240,3 +240,23 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
         "loss-wise_miou": [s["mIoU"] for s in per_loss_stats],
         "loss-wise_stats": per_loss_stats,
     }
+
+
+def evaluate(logits_fn: Callable, batches: Iterable, *, num_classes: int,
+             ignore_label: int = -1, n_batches: int = -1):
+    """Reference-shaped eval API: returns (cla_acc, macc, aacc, f1, mf1,
+    ious, miou) like ``semseg/val.py:14-32`` (accs/f1s as per-class lists).
+    """
+    hist = jnp.zeros((num_classes, num_classes), jnp.float32)
+    for i, (x, y) in enumerate(batches):
+        _, hist = _eval_step(logits_fn, jnp.asarray(x), jnp.asarray(y), hist,
+                             num_classes=num_classes,
+                             ignore_label=ignore_label)
+        if i + 1 == n_batches:
+            break
+    from robseg_tpu.ops.metrics import f1_from_hist
+    acc, macc, aacc = pixel_acc_from_hist(hist)
+    f1, mf1 = f1_from_hist(hist)
+    ious, miou = iou_from_hist(hist)
+    return (np.asarray(acc), float(macc), float(aacc), np.asarray(f1),
+            float(mf1), np.asarray(ious), float(miou))

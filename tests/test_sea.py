@@ -141,3 +141,14 @@ class TestSEAResume:
         assert r2["loss-wise_miou"] == r1["loss-wise_miou"]
         assert np.isclose(r2["final_miou"], r1["final_miou"])
         assert np.isclose(r2["worst_Acc"], r1["worst_Acc"])
+
+
+class TestEvaluateAPI:
+    def test_reference_shaped_tuple(self, rng):
+        from robseg_tpu.attacks.sea import evaluate
+        fn = _model(rng)
+        data = _batches(rng, n=1)
+        out = evaluate(fn, iter(data), num_classes=C)
+        acc, macc, aacc, f1, mf1, ious, miou = out
+        assert acc.shape == (C,) and ious.shape == (C,)
+        assert 0 <= aacc <= 1 and 0 <= miou <= 1
