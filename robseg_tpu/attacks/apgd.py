@@ -375,6 +375,28 @@ def apgd_largereps(logits_fn: Callable, x: Array, y: Array, *,
     return x_init, None, acc
 
 
+def targeted_classes(clean_sorted: Array, y: Array, restart_i: int,
+                     n_target_classes: int) -> Array:
+    """Per-pixel target class for targeted restart ``restart_i``.
+
+    Parity: ``attacker.py:607-620`` — restart i targets each pixel's
+    (i % n_target_classes + 1)-th most probable clean class; where that
+    collides with the true label, fall back to the next-lower-ranked class
+    (the upstream branch is broken — its loss names are not in
+    criterion_dict — so this is the working per-pixel analogue of its
+    selection arithmetic).
+
+    ``clean_sorted``: ascending argsort of the clean logits over the last
+    axis (classes).
+    """
+    n_cls = clean_sorted.shape[-1]
+    target_cls = restart_i % n_target_classes + 1
+    y_target = clean_sorted[..., n_cls - target_cls]
+    collide = y_target == y
+    alt = clean_sorted[..., max(n_cls - target_cls - 1, 0)]
+    return jnp.where(collide, alt, y_target)
+
+
 def apgd_restarts(logits_fn: Callable, x: Array, y: Array, *,
                   norm: str = "Linf", eps: float = 8.0 / 255.0,
                   n_iter: int = 10, loss: str = "ce", n_restarts: int = 1,
@@ -404,15 +426,10 @@ def apgd_restarts(logits_fn: Callable, x: Array, y: Array, *,
     targeted = "targeted" in loss
     if targeted:
         clean_sorted = jnp.argsort(logits_fn(x), axis=-1)  # ascending
-        n_cls = clean_sorted.shape[-1]
     for i in range(n_restarts):
         y_target = None
         if targeted:
-            target_cls = i % n_target_classes + 1
-            y_target = clean_sorted[..., n_cls - target_cls]
-            collide = y_target == y
-            alt = clean_sorted[..., max(n_cls - target_cls - 1, 0)]
-            y_target = jnp.where(collide, alt, y_target)
+            y_target = targeted_classes(clean_sorted, y, i, n_target_classes)
         rng, sub = jax.random.split(rng)
         res = apgd_attack(
             logits_fn, x, y, norm=norm, eps=eps, n_iter=n_iter,

@@ -26,9 +26,16 @@ import jax.numpy as jnp
 
 from robseg_tpu.attacks.apgd import apgd_largereps
 from robseg_tpu.attacks.worst_case import (sea_intersect_union,
-                                           worst_case_aacc, worst_case_miou)
+                                           worst_case_miou)
 from robseg_tpu.ops.metrics import (confusion_matrix, iou_from_hist,
-                                    pixel_acc_from_hist)
+                                    per_image_intersect_union,
+                                    per_image_pixel_acc, pixel_acc_from_hist)
+
+# Argmax predictions are stored int16 on host/cache: class ids fit
+# (<= 151 everywhere) and the ignore label is -1 — 2 bytes/pixel keeps a
+# full ADE20K-sized SEA run (3 attacks x 2000 x 512^2) at ~1.5 GB host RSS
+# instead of the >6 GB a float/int32 design would need.
+PRED_DTYPE = np.int16
 
 SEA_LOSSES = ("mask-ce-bal", "mask-ce-avg", "js-avg")  # infer.py:276-280
 
@@ -75,6 +82,17 @@ def _pad_batch(x: np.ndarray, y: np.ndarray, bs: int):
     return x, y, n_real
 
 
+def _static_batch_size(first_batch_size: int, mesh) -> int:
+    """Static per-call batch size: the first batch's size, rounded up to a
+    mesh multiple when sharding (a batch that does not divide the data axis
+    cannot be sharded — e.g. batch 4 on 8 devices pads to 8; padded rows
+    carry all-ignore labels and are sliced off afterwards)."""
+    if mesh is None:
+        return first_batch_size
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    return -(-first_batch_size // n_dev) * n_dev
+
+
 @functools.partial(jax.jit, static_argnames=("logits_fn", "num_classes",
                                              "ignore_label"))
 def _eval_step(logits_fn, x, y, h, *, num_classes, ignore_label):
@@ -87,13 +105,17 @@ def _eval_step(logits_fn, x, y, h, *, num_classes, ignore_label):
 
 def eval_performance(logits_fn: Callable, batches: Iterable, *,
                      num_classes: int, ignore_label: int = -1,
-                     n_batches: int = -1, batch_size: Optional[int] = None):
+                     n_batches: int = -1, batch_size: Optional[int] = None,
+                     return_preds: bool = True):
     """Clean/adv evaluation returning stats + ignore-masked argmax preds.
 
     Parity: ``tools/infer.py:56-133`` (running confusion-matrix metrics;
     predictions at ignored pixels are overwritten with the ignore label
     before being stored). The jitted step is cached across calls (same
     ``logits_fn`` => one compile for the whole SEA run).
+
+    ``return_preds=False`` skips host-side pred accumulation (stats-only
+    passes on full-val splits would otherwise hold ~1 GB of argmaxes).
     """
     hist = jnp.zeros((num_classes, num_classes), jnp.float32)
     preds_out: List[np.ndarray] = []
@@ -106,7 +128,8 @@ def eval_performance(logits_fn: Callable, batches: Iterable, *,
         pred, hist = _eval_step(logits_fn, jnp.asarray(x), jnp.asarray(y),
                                 hist, num_classes=num_classes,
                                 ignore_label=ignore_label)
-        preds_out.append(np.asarray(pred[:n_real]))
+        if return_preds:
+            preds_out.append(np.asarray(pred[:n_real]).astype(PRED_DTYPE))
         if i + 1 == n_batches:
             break
     _, macc, aacc = pixel_acc_from_hist(hist)
@@ -135,7 +158,7 @@ def run_attack_over_loader(logits_fn: Callable, batches: Iterable, *,
     for i, (x, y) in enumerate(batches):
         x, y = np.asarray(x), np.asarray(y)
         if batch_size is None:
-            batch_size = x.shape[0]
+            batch_size = _static_batch_size(x.shape[0], mesh)
         x_p, y_p, n_real = _pad_batch(x, y, batch_size)
         if mesh is not None:
             # pod-scale SEA: shard the batch over the data mesh; APGD is
@@ -164,7 +187,7 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
             losses: Sequence[str] = SEA_LOSSES, seed: int = 225,
             verbose: bool = False,
             resume_dir: Optional[str] = None, cache_tag: str = "",
-            mesh=None) -> Dict:
+            mesh=None, wc_engine: str = "auto") -> Dict:
     """Full SEA evaluation; parity ``tools/infer.py:313-403``.
 
     ``make_loader`` returns a fresh iterable of (images, labels) batches.
@@ -181,13 +204,15 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
 
     clean_stats, _ = eval_performance(
         logits_fn, make_loader(), num_classes=num_classes,
-        n_batches=n_batches)
+        n_batches=n_batches, return_preds=False)
     if verbose:
         print(f"Clean performance: {clean_stats.as_dict()}")
 
-    per_loss_preds: List[np.ndarray] = []
+    w = jnp.asarray(weights) if weights is not None else None
     per_loss_stats: List[Dict] = []
-    targets: List[np.ndarray] = []
+    all_ints: List[np.ndarray] = []   # per loss: (N, K)
+    all_unis: List[np.ndarray] = []
+    all_accs: List[np.ndarray] = []   # per loss: (N,) per-image aAcc
     for li, loss in enumerate(losses):
         cache_path = None
         if resume_dir:
@@ -197,39 +222,94 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
                 resume_dir, f"argmax_{tag}{loss}_{eps:.6f}_{n_iter}.npz")
         if cache_path and os.path.exists(cache_path):
             data = np.load(cache_path)
-            per_loss_preds.append(data["preds"])
             per_loss_stats.append(
                 {k: float(data[k]) for k in ("mAcc", "aAcc", "mIoU")})
-            if li == 0:
-                targets = data["targets"]
+            if all(k in data for k in ("ints", "unis", "accs")):
+                all_ints.append(data["ints"])
+                all_unis.append(data["unis"])
+                all_accs.append(data["accs"])
+            else:
+                # pre-round-2 cache: recompute aggregation inputs from the
+                # stored argmax predictions (one cheap device pass)
+                p = data["preds"].astype(np.int32)
+                t = data["targets"].astype(np.int32)
+                i_, u_ = sea_intersect_union([p], t, num_classes=num_classes)
+                all_ints.append(i_[0])
+                all_unis.append(u_[0])
+                all_accs.append(np.asarray(per_image_pixel_acc(
+                    jnp.asarray(p.astype(np.int32)),
+                    jnp.asarray(t.astype(np.int32)))))
             if verbose:
                 print(f"{loss}: resumed from {cache_path}")
             continue
+
+        # Streaming attack->eval: each batch is attacked, argmaxed and
+        # reduced to (per-image int/union, per-image acc, confusion-matrix
+        # increment) immediately — adversarial images are never accumulated
+        # on host (the reference holds the full adv split as an in-memory
+        # loader, ``infer.py:136-155``).
         t0 = time.time()
-        adv_batches = run_attack_over_loader(
-            logits_fn, make_loader(), loss=loss, eps=eps, n_iter=n_iter,
-            weights=weights, n_batches=n_batches, seed=seed + li,
-            verbose=verbose, mesh=mesh)
-        stats, preds = eval_performance(
-            logits_fn, adv_batches, num_classes=num_classes,
-            n_batches=n_batches)
-        per_loss_preds.append(preds)
+        rng = jax.random.PRNGKey(seed + li)
+        hist = jnp.zeros((num_classes, num_classes), jnp.float32)
+        preds_l: List[np.ndarray] = []
+        tgts_l: List[np.ndarray] = []
+        ints_l: List[np.ndarray] = []
+        unis_l: List[np.ndarray] = []
+        accs_l: List[np.ndarray] = []
+        batch_size = None
+        for bi, (x, y) in enumerate(make_loader()):
+            x, y = np.asarray(x), np.asarray(y)
+            if batch_size is None:
+                batch_size = _static_batch_size(x.shape[0], mesh)
+            x_p, y_p, n_real = _pad_batch(x, y, batch_size)
+            x_p, y_p = jnp.asarray(x_p), jnp.asarray(y_p)
+            if mesh is not None:
+                from robseg_tpu.parallel import shard_batch
+                x_p, y_p = shard_batch(mesh, (x_p, y_p))
+            rng, sub = jax.random.split(rng)
+            x_adv, _, _ = apgd_largereps(
+                logits_fn, x_p, y_p, weights=w, norm="Linf", eps=eps,
+                n_iter=n_iter, loss=loss, early_stop=True,
+                track_loss="ce-avg", use_rs=True, rng=sub)
+            if verbose:
+                adv_np = np.asarray(x_adv)[:n_real]
+                print(f"batch {bi}: {check_imgs(adv_np, x, 'Linf')}")
+            pred, hist = _eval_step(logits_fn, x_adv, y_p, hist,
+                                    num_classes=num_classes,
+                                    ignore_label=-1)
+            i_, u_ = per_image_intersect_union(pred, y_p,
+                                               num_classes=num_classes)
+            a_ = per_image_pixel_acc(pred, y_p)
+            preds_l.append(np.asarray(pred[:n_real]).astype(PRED_DTYPE))
+            tgts_l.append(y.astype(PRED_DTYPE))
+            ints_l.append(np.asarray(i_[:n_real]))
+            unis_l.append(np.asarray(u_[:n_real]))
+            accs_l.append(np.asarray(a_[:n_real]))
+            if bi + 1 == n_batches:
+                break
+        _, macc, aacc = pixel_acc_from_hist(hist)
+        _, miou = iou_from_hist(hist)
+        stats = EvalStats(float(macc), float(aacc), float(miou))
         per_loss_stats.append(stats.as_dict())
-        loss_targets = np.concatenate([y for _, y in adv_batches])
-        if li == 0:
-            targets = loss_targets
+        all_ints.append(np.concatenate(ints_l))
+        all_unis.append(np.concatenate(unis_l))
+        all_accs.append(np.concatenate(accs_l))
         if cache_path:
-            np.savez_compressed(cache_path, preds=preds,
-                                targets=loss_targets,
+            np.savez_compressed(cache_path, preds=np.concatenate(preds_l),
+                                targets=np.concatenate(tgts_l),
+                                ints=all_ints[-1], unis=all_unis[-1],
+                                accs=all_accs[-1],
                                 **{k: np.float64(v)
                                    for k, v in stats.as_dict().items()})
         if verbose:
             print(f"{loss}: {stats.as_dict()} ({time.time() - t0:.1f}s)")
 
-    worst_aacc, per_attack_aacc = worst_case_aacc(per_loss_preds, targets)
-    ints, unis = sea_intersect_union(per_loss_preds, targets,
-                                     num_classes=num_classes)
-    final_miou = worst_case_miou(ints, unis, seed=seed)
+    acc_mat = np.stack(all_accs)               # (A, N)
+    worst_aacc = float(acc_mat.min(0).mean())
+    per_attack_aacc = acc_mat.mean(-1)
+    ints = np.stack(all_ints).astype(np.float64)
+    unis = np.stack(all_unis).astype(np.float64)
+    final_miou = worst_case_miou(ints, unis, seed=seed, engine=wc_engine)
 
     return {
         "seed": seed,

@@ -84,7 +84,28 @@ def worst_case_miou(cons_ints: np.ndarray, cons_unions: np.ndarray, *,
     faster for ADE-sized inputs), "python" the reference-shaped loop,
     "auto" prefers native when the toolchain built it. Shuffle RNGs differ
     between engines (both deterministic per seed); minima agree.
+
+    "reference" / "reference-python" replicate the published code's
+    class-list-shrink quirk bit-for-bit (``worse_only.py:79-93``):
+    ``_compute_miou_subtraction`` returns lists containing ONLY the classes
+    whose *current* running union is nonzero, and an accepted swap replaces
+    the running lists with those shrunk lists — from then on the K-length
+    per-image update vectors zip against a shorter list, silently
+    misaligning class indices. The published SEA numbers were produced by
+    that code, so matching them can require this mode; the default engines
+    keep full-length class vectors (the fix). Measured deltas are
+    documented in PARITY.md.
     """
+    if engine in ("reference", "reference-python"):
+        if engine == "reference":
+            res = _worst_case_miou_reference_native(
+                cons_ints, cons_unions, n_rounds=n_rounds, tol=tol,
+                seed=seed, return_selection=return_selection)
+            if res is not None:
+                return res
+        return _worst_case_miou_reference_py(
+            cons_ints, cons_unions, n_rounds=n_rounds, tol=tol, seed=seed,
+            return_selection=return_selection)
     if engine in ("auto", "native"):
         res = _worst_case_miou_native(cons_ints, cons_unions,
                                       n_rounds=n_rounds, tol=tol, seed=seed,
@@ -133,15 +154,84 @@ def worst_case_miou(cons_ints: np.ndarray, cons_unions: np.ndarray, *,
     return final_miou
 
 
+def _worst_case_miou_reference_py(cons_ints, cons_unions, *, n_rounds, tol,
+                                  seed, return_selection):
+    """Bug-compatible transcription of ``worse_only.py:181-349``.
+
+    The running intersection/union are Python LISTS. The candidate scorer
+    (``_compute_miou_subtraction``, ``worse_only.py:79-93``) zips the
+    running lists against the K-length update vectors (truncating to the
+    shorter), drops entries whose current union is zero, and returns the
+    SHRUNK lists; acceptance installs them as the new running state.
+    """
+    rng = random.Random(seed)
+    n_attacks, n_imgs, _ = cons_ints.shape
+    selected = np.zeros((n_imgs,), np.int64)
+    run_i = [float(v) for v in cons_ints[0].sum(0)]
+    run_u = [float(v) for v in cons_unions[0].sum(0)]
+
+    def _miou(ri, ru):
+        vals = [a / b for a, b in zip(ri, ru) if b != 0]
+        return sum(vals) / len(vals) if vals else 0.0
+
+    final_miou = _miou(run_i, run_u)
+    prev_best = 10.0
+    for _ in range(n_rounds):
+        order = list(range(n_imgs))
+        rng.shuffle(order)
+        for idx in order:
+            for attack in range(n_attacks):
+                upd_i = cons_ints[attack, idx] - cons_ints[selected[idx], idx]
+                upd_u = (cons_unions[attack, idx]
+                         - cons_unions[selected[idx], idx])
+                new_i, new_u, mious = [], [], []
+                # zip truncates to len(run_i) — the reference's shrink bug
+                for a, b, c, d in zip(run_i, run_u, upd_i, upd_u):
+                    if b == 0:  # skip classes absent from the CURRENT union
+                        continue
+                    new_i.append(a + float(c))
+                    new_u.append(b + float(d))
+                    mious.append(new_i[-1] / (new_u[-1] + 1e-8))
+                est = sum(mious) / len(mious) if mious else 0.0
+                if est < final_miou:
+                    selected[idx] = attack
+                    run_i, run_u = new_i, new_u
+            final_miou = _miou(run_i, run_u)
+        if prev_best - final_miou <= tol:
+            break
+        prev_best = final_miou
+        final_miou = _miou(run_i, run_u)
+
+    if return_selection:
+        return final_miou, selected
+    return final_miou
+
+
+def _worst_case_miou_reference_native(cons_ints, cons_unions, *, n_rounds,
+                                      tol, seed, return_selection):
+    """Native reference-compat engine; trajectory-identical to the Python
+    transcription (CPython-compatible MT19937 shuffle). None if not built."""
+    return _native_call("worst_case_miou_reference", cons_ints, cons_unions,
+                        n_rounds=n_rounds, tol=tol, seed=seed,
+                        return_selection=return_selection)
+
+
 def _worst_case_miou_native(cons_ints, cons_unions, *, n_rounds, tol, seed,
                             return_selection):
     """ctypes bridge to ``native/worst_case.cpp``; None if not built."""
+    return _native_call("worst_case_miou", cons_ints, cons_unions,
+                        n_rounds=n_rounds, tol=tol, seed=seed,
+                        return_selection=return_selection)
+
+
+def _native_call(symbol, cons_ints, cons_unions, *, n_rounds, tol, seed,
+                 return_selection):
     import ctypes
     from robseg_tpu.native import load_library
     lib = load_library("worst_case")
     if lib is None:
         return None
-    fn = lib.worst_case_miou
+    fn = getattr(lib, symbol)
     fn.restype = ctypes.c_double
     fn.argtypes = [ctypes.POINTER(ctypes.c_double),
                    ctypes.POINTER(ctypes.c_double),

@@ -55,6 +55,10 @@ class TrainSettings:
     eval_interval: int = 32
     freeze: bool = False
     device_aug: bool = False  # on-device augmentation pipeline (north star)
+    # periodic eval: every EVAL_FREQ epochs on EVAL_BATCHES val batches
+    # (reference hardcodes 20/20, ``train_rob_seg.py:387-395``; -1 = full)
+    eval_freq: int = 20
+    eval_batches: int = 20
 
     @classmethod
     def from_cfg(cls, t: Dict[str, Any]) -> "TrainSettings":
@@ -73,4 +77,6 @@ class TrainSettings:
             eval_interval=t.get("EVAL_INTERVAL", 32),
             freeze=t.get("FREEZE", False),
             device_aug=t.get("DEVICE_AUG", False),
+            eval_freq=t.get("EVAL_FREQ", 20),
+            eval_batches=t.get("EVAL_BATCHES", 20),
         )

@@ -254,6 +254,42 @@ def convert_pspnet(sd: Tensors, deep_base: bool = True) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def convert_resnet_backbone(sd: Tensors, deep_base: bool = False
+                            ) -> Tuple[Dict, Dict]:
+    """Torchvision/DDCAT-style ResNet-50 state_dict -> (params, batch_stats)
+    subtrees for the PSPNet ``backbone`` collection.
+
+    This is the PIR initialization path for PSPNet: the reference loads a
+    robust-ImageNet ResNet-50 checkpoint strictly into its ResNet module
+    (``resnet_ddcat.py:213-240``; the classifier head is unused by PSPNet).
+    ``deep_base``: the 3-conv stem layout (conv1..3/bn1..3) of the
+    ``clean=True`` variant vs the standard 7x7 stem.
+    """
+    sd = strip_prefixes(sd)
+    params: Dict = {}
+    stats: Dict = {}
+    stem = ([("conv1", "bn1"), ("conv2", "bn2"), ("conv3", "bn3")]
+            if deep_base else [("conv1", "bn1")])
+    for cname, bname in stem:
+        _set(params, f"{cname}/kernel", _conv(sd[f"{cname}.weight"]))
+        _bn_pair(params, stats, f"{bname}/bn", sd, bname)
+    layer_blocks = (3, 4, 6, 3)
+    for s in range(4):
+        for b in range(layer_blocks[s]):
+            src = f"layer{s + 1}.{b}"
+            dst = f"layer{s + 1}_block{b}"
+            for c in (1, 2, 3):
+                _set(params, f"{dst}/conv{c}/kernel",
+                     _conv(sd[f"{src}.conv{c}.weight"]))
+                _bn_pair(params, stats, f"{dst}/bn{c}/bn", sd, f"{src}.bn{c}")
+            if f"{src}.downsample.0.weight" in sd:
+                _set(params, f"{dst}/downsample_conv/kernel",
+                     _conv(sd[f"{src}.downsample.0.weight"]))
+                _bn_pair(params, stats, f"{dst}/downsample_bn/bn", sd,
+                         f"{src}.downsample.1")
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # ViT / Segmenter
 # ---------------------------------------------------------------------------

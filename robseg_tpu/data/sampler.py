@@ -24,14 +24,26 @@ import numpy as np
 
 
 class ShardedEpochSampler:
-    """Deterministic epoch-seeded shuffling with pad-to-divisible shards."""
+    """Deterministic epoch-seeded shuffling with pad-to-divisible shards.
+
+    ``num_hosts``/``host_id`` restrict batch enumeration to the shards this
+    host feeds (its local devices on the data axis): every host computes the
+    same epoch permutation (same seed), then materializes only its
+    contiguous block of shards — index sets are disjoint across hosts and
+    their union is exactly the single-host global batch (tested).
+    """
 
     def __init__(self, dataset_len: int, num_shards: int, *,
-                 shuffle: bool = True, seed: int = 0):
+                 shuffle: bool = True, seed: int = 0,
+                 num_hosts: int = 1, host_id: int = 0):
+        assert num_shards % num_hosts == 0, (num_shards, num_hosts)
+        assert 0 <= host_id < num_hosts
         self.dataset_len = dataset_len
         self.num_shards = num_shards
         self.shuffle = shuffle
         self.seed = seed
+        self.num_hosts = num_hosts
+        self.host_id = host_id
         self.num_samples = int(
             math.ceil(dataset_len * 1.0 / num_shards))
         self.total_size = self.num_samples * num_shards
@@ -48,13 +60,19 @@ class ShardedEpochSampler:
             indices = np.concatenate([indices, indices[:pad]])
         return indices[shard:self.total_size:self.num_shards]
 
+    @property
+    def local_shards(self) -> range:
+        """The contiguous block of shard ids this host feeds."""
+        per_host = self.num_shards // self.num_hosts
+        return range(self.host_id * per_host, (self.host_id + 1) * per_host)
+
     def global_batch_indices(self, epoch: int, batch_per_shard: int
                              ) -> Iterator[np.ndarray]:
-        """Yield (num_shards * batch_per_shard,) index arrays; the first
-        ``batch_per_shard`` belong to shard 0, etc. Drops the last partial
-        batch (torch BatchSampler(drop_last=True) parity)."""
-        per_shard = [self.shard_indices(epoch, s)
-                     for s in range(self.num_shards)]
+        """Yield this host's slice of each global batch — with one host
+        that is the full (num_shards * batch_per_shard,) index array, the
+        first ``batch_per_shard`` belonging to shard 0, etc. Drops the last
+        partial batch (torch BatchSampler(drop_last=True) parity)."""
+        per_shard = [self.shard_indices(epoch, s) for s in self.local_shards]
         n_batches = self.num_samples // batch_per_shard
         for b in range(n_batches):
             sl = slice(b * batch_per_shard, (b + 1) * batch_per_shard)
@@ -72,10 +90,13 @@ class IterationBasedLoader:
 
     def __init__(self, dataset, *, num_shards: int, batch_per_shard: int,
                  max_iters: Optional[int] = None, shuffle: bool = True,
-                 seed: int = 0, start_iter: int = 0):
+                 seed: int = 0, start_iter: int = 0,
+                 num_hosts: int = 1, host_id: int = 0):
         self.dataset = dataset
         self.sampler = ShardedEpochSampler(len(dataset), num_shards,
-                                           shuffle=shuffle, seed=seed)
+                                           shuffle=shuffle, seed=seed,
+                                           num_hosts=num_hosts,
+                                           host_id=host_id)
         self.batch_per_shard = batch_per_shard
         self.max_iters = max_iters
         self.start_iter = start_iter

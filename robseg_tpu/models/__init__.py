@@ -39,6 +39,10 @@ SEGMENTER_VARIANTS = {
     "vit_base_patch16_384": dict(d_model=768, n_heads=12, n_layers=12),
     "vit_base_patch8_384": dict(d_model=768, n_heads=12, n_layers=12,
                                 patch_size=8),
+    "vit_base_patch32_384": dict(d_model=768, n_heads=12, n_layers=12,
+                                 patch_size=32),
+    "vit_large_patch32_384": dict(d_model=1024, n_heads=16, n_layers=24,
+                                  patch_size=32),
     "vit_base_patch16_SAM": dict(d_model=768, n_heads=12, n_layers=12),
     "vit_large_patch16_384": dict(d_model=1024, n_heads=16, n_layers=24),
 }

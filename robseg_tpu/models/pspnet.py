@@ -164,21 +164,29 @@ class PSPNetDDCAT(nn.Module):
     dropout: float = 0.1
     zoom_factor: int = 8
     bn_axis_name: Optional[str] = None
+    # backbone geometry (defaults = ResNet-50; shrinkable for tiny parity
+    # tests, mirroring ResNetStages' knobs)
+    backbone_layers: Sequence[int] = (3, 4, 6, 3)
+    backbone_planes: Sequence[int] = (64, 128, 256, 512)
+    head_width: int = 512
+    aux_width: int = 256
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False, indicate: int = 0):
         assert (x.shape[1] - 1) % 8 == 0 and (x.shape[2] - 1) % 8 == 0
         out_hw = _zoom_hw(x, self.zoom_factor)
-        x3, x4 = ResNetStages(deep_base=False,
+        x3, x4 = ResNetStages(layers=self.backbone_layers,
+                              planes=self.backbone_planes,
+                              deep_base=False,
                               bn_axis_name=self.bn_axis_name,
                               name="backbone")(x, train)
-        feat = PPM(2048 // len(self.bins), self.bins,
+        feat = PPM(x4.shape[-1] // len(self.bins), self.bins,
                    bn_axis_name=self.bn_axis_name, name="ppm")(x4, train)
-        normal = _ClsHead(512, self.classes, 3, self.dropout,
+        normal = _ClsHead(self.head_width, self.classes, 3, self.dropout,
                           self.bn_axis_name, name="cls1")(feat, train)
-        adver = _ClsHead(512, self.classes, 3, self.dropout,
+        adver = _ClsHead(self.head_width, self.classes, 3, self.dropout,
                          self.bn_axis_name, name="cls2")(feat, train)
-        mask = _ClsHead(512, 2, 3, self.dropout,
+        mask = _ClsHead(self.head_width, 2, 3, self.dropout,
                         self.bn_axis_name, name="mask1")(feat, train)
         if self.zoom_factor != 1:
             normal = resize_bilinear(normal, out_hw, align_corners=True)
@@ -188,7 +196,7 @@ class PSPNetDDCAT(nn.Module):
             return normal
         sel = jnp.argmax(mask, axis=-1)[..., None].astype(normal.dtype)
         final = sel * adver + (1.0 - sel) * normal
-        aux = _ClsHead(256, self.classes, 3, self.dropout,
+        aux = _ClsHead(self.aux_width, self.classes, 3, self.dropout,
                        self.bn_axis_name, name="aux_cls1")(x3, train)
         if not (train or indicate == 1):
             return normal

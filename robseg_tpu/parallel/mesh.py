@@ -30,8 +30,19 @@ def make_data_mesh(num_devices: Optional[int] = None,
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
-    """Place host arrays with their leading axis split over the mesh."""
+    """Place host arrays with their leading axis split over the mesh.
+
+    On a multi-host pod each process passes only ITS slice of the global
+    batch (the sampler's ``num_hosts``/``host_id`` enumeration) and the
+    global array is assembled across processes; single-host keeps the
+    plain ``device_put`` fast path.
+    """
     sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        import numpy as _np
+        return jax.tree.map(
+            lambda a: jax.make_array_from_process_local_data(
+                sharding, _np.asarray(a)), batch)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
 
 

@@ -530,3 +530,100 @@ class TestShardedAttack:
                                    np.asarray(res1.x_best_adv), atol=1e-6)
         np.testing.assert_allclose(np.asarray(res8.acc),
                                    np.asarray(res1.acc), atol=1e-6)
+
+
+class TestTargetedSelection:
+    def test_picks_ith_most_probable_with_collision_fallback(self, rng):
+        """Parity with attacker.py:607-620 selection arithmetic."""
+        from robseg_tpu.attacks.apgd import targeted_classes
+        logits = rng.normal(size=(2, 4, 4, C)).astype(np.float32)
+        y = rng.integers(0, C, size=(2, 4, 4)).astype(np.int32)
+        srt = jnp.argsort(jnp.asarray(logits), axis=-1)
+        for i in range(4):
+            got = np.asarray(targeted_classes(srt, jnp.asarray(y), i,
+                                              n_target_classes=3))
+            target_cls = i % 3 + 1
+            order = np.argsort(logits, axis=-1)
+            want = order[..., C - target_cls]
+            alt = order[..., max(C - target_cls - 1, 0)]
+            want = np.where(want == y, alt, want)
+            np.testing.assert_array_equal(got, want)
+            assert np.all(got != y) or target_cls == C  # no collisions left
+
+
+def _torch_pgd_filters(torch_fn, x_np, y_np, yimg_np, init_f, n_iter,
+                       alpha, alpha_reg, n_cls):
+    """Transcription of semseg/attacker.py:731-773 (f64)."""
+    x = torch.from_numpy(np.moveaxis(x_np, -1, 1).copy()).double()
+    y = torch.from_numpy(y_np).long()
+    f = torch.from_numpy(init_f.copy()).double().reshape(n_cls, 1, 1, 3, 3)
+    for _ in range(n_iter):
+        f.requires_grad_(True)
+        fs = torch.tile(f, (1, 3, 1, 1, 1))
+        xf = x.clone()
+        for c in range(x.shape[0]):
+            xf[c] = F.conv2d(x[c:c + 1], fs[yimg_np[c]], groups=3,
+                             padding="same")
+        xf = xf / xf.view(xf.shape[0], -1).max(-1)[0].view(-1, 1, 1, 1)
+        out = torch_fn(xf)
+        loss = F.cross_entropy(out, y, reduction="none", ignore_index=-1)
+        reg = f.abs().reshape(n_cls, -1).sum(-1).mean()
+        grad = torch.autograd.grad(loss.mean() - alpha_reg * reg, f)[0]
+        f = f.detach()
+        gn = grad.reshape(n_cls, -1).norm(dim=1).view(-1, 1, 1, 1, 1)
+        f = (f + alpha * grad / gn).clamp_(0.0, 1.0)
+    return (xf.detach().numpy(),
+            f.detach().numpy().reshape(n_cls, 3, 3))
+
+
+class TestPgdFilters:
+    def test_matches_torch_transcription(self, rng):
+        from robseg_tpu.attacks.filters import pgd_filters
+        jax_fn, torch_fn = _make_linear_model(rng)
+        n_cls_f = 3
+        x = rng.random((B, H, W, 3)).astype(np.float64)
+        y = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+        y_img = rng.integers(0, n_cls_f, size=(B,)).astype(np.int32)
+        f0 = rng.random((n_cls_f, 3, 3)).astype(np.float64)
+
+        ref_xf, ref_f = _torch_pgd_filters(
+            torch_fn, x, y, y_img, f0, n_iter=5, alpha=0.2, alpha_reg=0.1,
+            n_cls=n_cls_f)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            got_xf, got_f = pgd_filters(
+                jax_fn, jnp.asarray(x), jnp.asarray(y), jnp.asarray(y_img),
+                n_iter=5, alpha=0.2, loss="ce", n_cls=n_cls_f,
+                alpha_reg=0.1, init_f=jnp.asarray(f0))
+            got_xf, got_f = np.asarray(got_xf), np.asarray(got_f)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        np.testing.assert_allclose(got_f, ref_f, atol=1e-9)
+        np.testing.assert_allclose(np.moveaxis(got_xf, -1, 1), ref_xf,
+                                   atol=1e-9)
+
+    def test_filters_stay_in_box_and_loss_ascends(self, rng):
+        from robseg_tpu.attacks.filters import pgd_filters, _apply_filters
+        from robseg_tpu.ops.losses import ATTACK_CRITERIA, pixel_to_img_loss
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        logits = np.asarray(jax_fn(jnp.asarray(x)))
+        y = logits.argmax(-1).astype(np.int32)
+        y_img = rng.integers(0, 3, size=(B,)).astype(np.int32)
+        f0 = jnp.asarray(rng.random((3, 3, 3)).astype(np.float32))
+
+        def mean_loss(f):
+            xf = _apply_filters(jnp.asarray(x), f, jnp.asarray(y_img))
+            li = ATTACK_CRITERIA["ce"](jax_fn(xf), jnp.asarray(y), None)
+            return float(pixel_to_img_loss(li).mean())
+
+        xf, f = pgd_filters(jax_fn, jnp.asarray(x), jnp.asarray(y),
+                            jnp.asarray(y_img), n_iter=10, loss="ce",
+                            n_cls=3, init_f=f0)
+        f = np.asarray(f)
+        assert f.min() >= 0.0 and f.max() <= 1.0
+        assert mean_loss(jnp.asarray(f)) > mean_loss(f0)
+        # output is max-normalized (reference divides by the per-image max)
+        out = np.asarray(xf)
+        np.testing.assert_allclose(
+            np.abs(out).reshape(B, -1).max(-1), 1.0, rtol=1e-5)

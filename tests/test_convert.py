@@ -874,3 +874,241 @@ class TestSegmenterFullParity:
         finally:
             jax.config.update("jax_enable_x64", False)
         np.testing.assert_allclose(got, np.moveaxis(ref, 1, -1), atol=1e-9)
+
+
+class TestPIRInit:
+    """PIR initialization paths for the three families (VERDICT missing #3).
+
+    UperNet's ConvNeXt path is covered by TestStructuralConversion /
+    TestFullBackboneNumericalParity; these cover the two newly wired ones:
+    robust ResNet-50 -> PSPNet backbone (``resnet_ddcat.py:213-240``) and
+    robust ViT -> Segmenter encoder with pos-embed grid resampling
+    (``segmenter.py:144-163``).
+    """
+
+    def test_resnet50_into_pspnet_backbone(self, rng):
+        from robseg_tpu.convert import convert_resnet_backbone
+        m = models.PSPNet(classes=21, deep_base=False)
+        x = jnp.zeros((1, 33, 33, 3))
+        y = jnp.zeros((1, 33, 33), jnp.int32)
+        variables = m.init(jax.random.PRNGKey(0), x, labels=y)
+        tpl_p = variables["params"]["backbone"]
+        tpl_s = variables["batch_stats"]["backbone"]
+        shapes = _tree_shapes(tpl_p)
+
+        def t_conv(shape):
+            kh, kw, ci, co = shape
+            return rng.normal(size=(co, ci, kh, kw)).astype(np.float32)
+
+        sd = {"conv1.weight": t_conv(shapes["conv1/kernel"]),
+              "fc.weight": np.zeros((1000, 2048), np.float32),  # ignored
+              "fc.bias": np.zeros(1000, np.float32)}
+        n = shapes["bn1/bn/scale"][0]
+        for k, v in (("weight", np.ones(n)), ("bias", np.zeros(n)),
+                     ("running_mean", np.zeros(n)),
+                     ("running_var", np.ones(n))):
+            sd[f"bn1.{k}"] = v.astype(np.float32)
+        for s in range(4):
+            for b in range((3, 4, 6, 3)[s]):
+                src = f"layer{s + 1}.{b}"
+                dst = f"layer{s + 1}_block{b}"
+                for c in (1, 2, 3):
+                    sd[f"{src}.conv{c}.weight"] = t_conv(
+                        shapes[f"{dst}/conv{c}/kernel"])
+                    n = shapes[f"{dst}/bn{c}/bn/scale"][0]
+                    for k, v in (("weight", np.ones(n)),
+                                 ("bias", np.zeros(n)),
+                                 ("running_mean", np.zeros(n)),
+                                 ("running_var", np.ones(n))):
+                        sd[f"{src}.bn{c}.{k}"] = v.astype(np.float32)
+                if f"{dst}/downsample_conv/kernel" in shapes:
+                    sd[f"{src}.downsample.0.weight"] = t_conv(
+                        shapes[f"{dst}/downsample_conv/kernel"])
+                    n = shapes[f"{dst}/downsample_bn/bn/scale"][0]
+                    for k, v in (("weight", np.ones(n)),
+                                 ("bias", np.zeros(n)),
+                                 ("running_mean", np.zeros(n)),
+                                 ("running_var", np.ones(n))):
+                        sd[f"{src}.downsample.1.{k}"] = v.astype(np.float32)
+
+        got_p, got_s = convert_resnet_backbone(sd, deep_base=False)
+        _assert_same_structure(tpl_p, got_p)
+        _assert_same_structure(tpl_s, got_s)
+        # conv kernel layout: OIHW -> HWIO
+        np.testing.assert_allclose(
+            got_p["conv1"]["kernel"],
+            np.transpose(sd["conv1.weight"], (2, 3, 1, 0)))
+        # merged model still applies
+        merged = {"params": {**variables["params"], "backbone": got_p},
+                  "batch_stats": {**variables["batch_stats"],
+                                  "backbone": got_s}}
+        out = m.apply(merged, x)
+        assert out.shape == (1, 33, 33, 21)
+
+    def test_vit_into_segmenter_encoder_with_pos_resize(self, rng):
+        """An ImageNet-384 ViT pos-embed (24x24+1 at patch16... scaled down
+        here: 6x6+1) resamples onto the model's smaller grid (2x2+1)."""
+        from robseg_tpu.convert import convert_vit_encoder
+        m = models.create_segmenter("vit_tiny_patch16_384", n_cls=5,
+                                    image_size=(32, 32))
+        variables = m.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)))
+        tpl_enc = variables["params"]["encoder"]
+        shapes = _tree_shapes(tpl_enc)
+        sd = {}
+
+        def add_lin(src, dst):
+            i, o = shapes[f"{dst}/kernel"]
+            sd[f"{src}.weight"] = rng.normal(size=(o, i)).astype(np.float32)
+            sd[f"{src}.bias"] = np.zeros(o, np.float32)
+
+        def add_ln(src, dst):
+            n = shapes[f"{dst}/scale"][0]
+            sd[f"{src}.weight"] = np.ones(n, np.float32)
+            sd[f"{src}.bias"] = np.zeros(n, np.float32)
+
+        kh, kw, ci, co = shapes["patch_embed/kernel"]
+        sd["patch_embed.proj.weight"] = rng.normal(
+            size=(co, ci, kh, kw)).astype(np.float32)
+        sd["patch_embed.proj.bias"] = np.zeros(co, np.float32)
+        sd["cls_token"] = np.zeros(shapes["cls_token"], np.float32)
+        # checkpoint carries a LARGER grid than the model: 6x6+1 tokens
+        sd["pos_embed"] = rng.normal(size=(1, 37, co)).astype(np.float32)
+        for i in range(12):
+            b = f"blocks.{i}"
+            d = f"block{i}"
+            add_ln(f"{b}.norm1", f"{d}/norm1")
+            add_ln(f"{b}.norm2", f"{d}/norm2")
+            add_lin(f"{b}.attn.qkv", f"{d}/attn/qkv")
+            add_lin(f"{b}.attn.proj", f"{d}/attn/proj")
+            add_lin(f"{b}.mlp.fc1", f"{d}/mlp/fc1")
+            add_lin(f"{b}.mlp.fc2", f"{d}/mlp/fc2")
+        add_ln("norm", "norm")
+
+        enc = convert_vit_encoder(sd, n_layers=12, target_grid=(2, 2))
+        _assert_same_structure(tpl_enc, enc)
+        assert enc["pos_embed"].shape == tpl_enc["pos_embed"].shape
+        merged = {"params": {**variables["params"], "encoder": enc}}
+        out = m.apply(merged, jnp.zeros((1, 32, 32, 3)))
+        assert out.shape == (1, 32, 32, 5)
+
+
+class TestDDCATNumericalParity:
+    """f64 parity of the DDCAT dual-branch blending (VERDICT weak #3):
+    normal/adversarial classifier pair + 2-way mask argmax selector + aux,
+    vs a torch transcription of ``ddcat_psp.py:595-668`` sharing the same
+    weights. Covers PPM + _ClsHead + blending wiring numerically."""
+
+    def test_pspnet_ddcat_matches_torch(self, rng):
+        from robseg_tpu.models.pspnet import PSPNetDDCAT
+
+        m = PSPNetDDCAT(classes=5, bins=(1, 2), dropout=0.0,
+                        backbone_layers=(1, 1, 1, 1),
+                        backbone_planes=(4, 8, 16, 32),
+                        head_width=16, aux_width=8)
+        x_np = rng.random((2, 17, 17, 3)).astype(np.float64)
+        variables = m.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 17, 17, 3), jnp.float32))
+        # randomize every leaf so BN/conv paths are all exercised
+        rngs = np.random.default_rng(5)
+        params = jax.tree.map(
+            lambda a: rngs.normal(size=a.shape).astype(np.float64) * 0.2,
+            variables["params"])
+        stats = jax.tree.map(
+            lambda a: (rngs.random(a.shape) + 0.5).astype(np.float64),
+            variables["batch_stats"])
+
+        def g(tree, path):
+            for p in path.split("/"):
+                tree = tree[p]
+            return tree
+
+        def t(v):
+            return torch.from_numpy(np.asarray(v)).double()
+
+        def conv_t(x, tree, path, stride=1, pad=0, dil=1):
+            k = t(np.transpose(g(tree, path + "/kernel"), (3, 2, 0, 1)))
+            b = (t(g(tree, path + "/bias"))
+                 if "bias" in g(tree, path) else None)
+            return F.conv2d(x, k, b, stride=stride, padding=pad,
+                            dilation=dil)
+
+        def bn_t(x, path):
+            return F.batch_norm(
+                x, t(g(stats, path + "/bn/mean")),
+                t(g(stats, path + "/bn/var")),
+                t(g(params, path + "/bn/scale")),
+                t(g(params, path + "/bn/bias")), training=False, eps=1e-5)
+
+        def cbr(x, path, pad=1, dil=1):
+            return F.relu(bn_t(conv_t(x, params, path + "/conv", pad=pad,
+                                      dil=dil), path))
+
+        def head(x, path):
+            h = F.relu(bn_t(conv_t(x, params, f"{path}/conv/conv", pad=1),
+                            f"{path}/conv"))
+            return conv_t(h, params, f"{path}/classifier")
+
+        def torch_fwd(xin):
+            strides, dils = (1, 2, 1, 1), (1, 1, 2, 4)
+            bb = "backbone"
+            x = F.relu(bn_t(conv_t(xin, params, f"{bb}/conv1", stride=2,
+                                   pad=3), f"{bb}/bn1"))
+            x = F.max_pool2d(x, 3, 2, 1)
+            feats = []
+            for s in range(4):
+                blk = f"{bb}/layer{s + 1}_block0"
+                res = x
+                if "downsample_conv" in g(params, bb)[f"layer{s + 1}_block0"]:
+                    res = bn_t(conv_t(x, params, f"{blk}/downsample_conv",
+                                      stride=strides[s]),
+                               f"{blk}/downsample_bn")
+                y = F.relu(bn_t(conv_t(x, params, f"{blk}/conv1"),
+                                f"{blk}/bn1"))
+                y = F.relu(bn_t(conv_t(y, params, f"{blk}/conv2",
+                                       stride=strides[s], pad=dils[s],
+                                       dil=dils[s]), f"{blk}/bn2"))
+                y = bn_t(conv_t(y, params, f"{blk}/conv3"), f"{blk}/bn3")
+                x = F.relu(y + res)
+                feats.append(x)
+            x3, x4 = feats[2], feats[3]
+            outs = [x4]
+            for i, b in enumerate((1, 2)):
+                p = F.adaptive_avg_pool2d(x4, b)
+                p = cbr(p, f"ppm/bin{i}", pad=0)
+                outs.append(F.interpolate(p, size=x4.shape[-2:],
+                                          mode="bilinear",
+                                          align_corners=True))
+            feat = torch.cat(outs, 1)
+            hw = ((17 - 1) // 8 * 8 + 1,) * 2
+            up = lambda z: F.interpolate(z, size=hw, mode="bilinear",  # noqa
+                                         align_corners=True)
+            normal = up(head(feat, "cls1"))
+            adver = up(head(feat, "cls2"))
+            mask = up(head(feat, "mask1"))
+            sel = mask.max(1)[1].unsqueeze(1).expand_as(adver).double()
+            final = sel * adver + (1 - sel) * normal
+            aux = up(head(x3, "aux_cls1"))
+            return final, aux, mask, normal
+
+        with torch.no_grad():
+            tf, ta, tm, tn = torch_fwd(
+                torch.from_numpy(np.moveaxis(x_np, -1, 1).copy()).double())
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            final, aux, mask, normal = m.apply(
+                {"params": params, "batch_stats": stats},
+                jnp.asarray(x_np), train=False, indicate=1)
+            # eval path (indicate=0) returns the normal branch only
+            ev = m.apply({"params": params, "batch_stats": stats},
+                         jnp.asarray(x_np))
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        for got, ref in ((final, tf), (aux, ta), (mask, tm), (normal, tn)):
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.moveaxis(ref.numpy(), 1, -1),
+                                       atol=5e-8)
+        np.testing.assert_allclose(np.asarray(ev),
+                                   np.moveaxis(tn.numpy(), 1, -1),
+                                   atol=5e-8)

@@ -244,3 +244,42 @@ class TestADE20K:
         assert img.shape == (64, 64, 3)
         assert mask.dtype == np.int32
         assert 0 <= mask.min() and mask.max() < 151  # offset 0 (parity)
+
+
+class TestMultiHostSampler:
+    """num_hosts > 1: per-host index streams are disjoint and their union
+    is exactly the single-host global batch (VERDICT weak #7)."""
+
+    def test_hosts_partition_global_batches(self):
+        from robseg_tpu.data.sampler import ShardedEpochSampler
+        n, shards, per_shard = 37, 8, 2
+        full = ShardedEpochSampler(n, shards, seed=3)
+        hosts = [ShardedEpochSampler(n, shards, seed=3, num_hosts=4,
+                                     host_id=h) for h in range(4)]
+        for epoch in (0, 1):
+            ref_batches = list(full.global_batch_indices(epoch, per_shard))
+            host_batches = [list(h.global_batch_indices(epoch, per_shard))
+                            for h in hosts]
+            assert all(len(hb) == len(ref_batches) for hb in host_batches)
+            for bi, ref in enumerate(ref_batches):
+                parts = [hb[bi] for hb in host_batches]
+                # disjoint positions: concatenation in host order == global
+                np.testing.assert_array_equal(np.concatenate(parts), ref)
+                assert all(len(p) == len(ref) // 4 for p in parts)
+
+    def test_iteration_loader_multihost_coverage(self):
+        from robseg_tpu.data.sampler import IterationBasedLoader
+        from robseg_tpu.data.datasets import SyntheticSegmentation
+        ds = SyntheticSegmentation(num_classes=5, length=12,
+                                   image_hw=(32, 32), mode="val",
+                                   crop_size=32)
+        full = [b[0] for b in IterationBasedLoader(
+            ds, num_shards=4, batch_per_shard=1, max_iters=3, seed=0)]
+        halves = []
+        for h in range(2):
+            halves.append([b[0] for b in IterationBasedLoader(
+                ds, num_shards=4, batch_per_shard=1, max_iters=3, seed=0,
+                num_hosts=2, host_id=h)])
+        for it in range(3):
+            np.testing.assert_allclose(
+                np.concatenate([halves[0][it], halves[1][it]]), full[it])

@@ -91,6 +91,88 @@ class TestWorstCase:
         assert greedy <= best + 0.05
 
 
+class TestReferenceCompatEngine:
+    """The engine="reference" mode replicates the published code's
+    class-list-shrink quirk (worse_only.py:79-93); see PARITY.md."""
+
+    @staticmethod
+    def _instance(rng, n_img=30, n_att=3, n_cls=21, absent=4):
+        ints = rng.integers(0, 50, (n_att, n_img, n_cls)).astype(np.float64)
+        unis = ints + rng.integers(0, 80, (n_att, n_img, n_cls)).astype(
+            np.float64)
+        drop = rng.choice(n_cls, absent, replace=False)
+        ints[:, :, drop] = 0
+        unis[:, :, drop] = 0  # absent classes trigger the shrink
+        return ints, unis
+
+    def test_python_native_trajectory_identical(self, rng):
+        from robseg_tpu.attacks.worst_case import (
+            _worst_case_miou_reference_native, _worst_case_miou_reference_py)
+        from robseg_tpu.native import native_available
+        if not native_available("worst_case"):
+            pytest.skip("no C++ toolchain")
+        for seed in (225, 7):
+            ints, unis = self._instance(rng)
+            py = _worst_case_miou_reference_py(
+                ints, unis, n_rounds=50, tol=1e-6, seed=seed,
+                return_selection=True)
+            nat = _worst_case_miou_reference_native(
+                ints, unis, n_rounds=50, tol=1e-6, seed=seed,
+                return_selection=True)
+            # CPython-compatible MT19937 shuffle in the C++ engine =>
+            # bit-identical trajectories (selections); miou to summation
+            # round-off
+            np.testing.assert_array_equal(py[1], nat[1])
+            assert abs(py[0] - nat[0]) < 1e-12
+
+    def test_shrink_semantics_hand_case(self):
+        """After an accepted swap the running lists shrink to the classes
+        with nonzero union, and later K-length updates misalign — verify
+        against a hand-traced 2-image 2-attack 3-class case."""
+        from robseg_tpu.attacks.worst_case import (
+            _worst_case_miou_reference_py)
+        # class 0 absent everywhere; attack 1 strictly worse on image 0
+        ints = np.array([[[0, 8, 6], [0, 5, 5]],
+                         [[0, 2, 1], [0, 5, 5]]], np.float64)
+        unis = np.array([[[0, 10, 10], [0, 10, 10]],
+                         [[0, 10, 10], [0, 10, 10]]], np.float64)
+        got = _worst_case_miou_reference_py(ints, unis, n_rounds=3, tol=1e-6,
+                                            seed=0, return_selection=True)
+        # hand trace: start att0 => run=[0,13,11]/[0,20,20], miou=.6.
+        # The scorer divides by (union + 1e-8) while the acceptance
+        # threshold is the exact mIoU, so even the NO-OP candidate scores
+        # strictly below it and is "accepted" — the lists shrink to
+        # [13,11]/[20,20] on the first visit. Swapping image 0 to att 1
+        # then zips the K=3 update [0,-6,-5] against the 2-entry lists:
+        # class 1's -6 lands on class 2's slot and the -5 is truncated =>
+        # run=[13,5]/[20,20], est=.45 < .6 accepted. (The CORRECT swap
+        # value would be (7/20+6/20)/2 = .325.) Image 1's candidates are
+        # no-ops, always re-accepted, leaving sel[1]=last attack=1.
+        assert got[1][0] == 1 and got[1][1] == 1
+        assert abs(got[0] - 0.45) < 1e-9
+
+    def test_compat_vs_fixed_delta_bounded(self, rng):
+        """The quirk changes the result by a measurable but small amount on
+        synthetic SEA-shaped inputs (documented in PARITY.md)."""
+        deltas = []
+        for seed in range(4):
+            ints, unis = self._instance(rng)
+            ref = worst_case_miou(ints, unis, n_rounds=50, seed=225 + seed,
+                                  engine="reference-python")
+            fix = worst_case_miou(ints, unis, n_rounds=50, seed=225 + seed,
+                                  engine="python")
+            deltas.append(ref - fix)
+        assert max(abs(d) for d in deltas) < 0.02
+        # without absent classes the shrink never fires on the first
+        # acceptance round => engines agree much more closely
+        ints, unis = self._instance(rng, absent=0)
+        ref = worst_case_miou(ints, unis, n_rounds=50, seed=225,
+                              engine="reference-python")
+        fix = worst_case_miou(ints, unis, n_rounds=50, seed=225,
+                              engine="python")
+        assert abs(ref - fix) < 0.02
+
+
 class TestNativeWorstCase:
     def test_native_matches_python_minimum(self, rng):
         from robseg_tpu.native import native_available
@@ -124,6 +206,38 @@ class TestNativeWorstCase:
                             return_selection=True)
         assert a[0] == b[0]
         np.testing.assert_array_equal(a[1], b[1])
+
+
+class TestShardedSEA:
+    def test_nondivisible_batch_pads_to_mesh_multiple(self, rng):
+        """--shard SEA with batch %% n_devices != 0: batches pad up to a
+        mesh multiple (padded rows all-ignore) and results match the
+        unsharded run exactly (VERDICT weak #6)."""
+        from robseg_tpu.attacks.sea import run_attack_over_loader
+        from robseg_tpu.parallel import make_data_mesh
+        fn = _model(rng)
+        data = _batches(rng, n=2, bs=3)  # 3 images on an 8-device mesh
+        kw = dict(loss="mask-ce-avg", eps=8 / 255, n_iter=4,
+                  weights=np.ones(C, np.float32), seed=3)
+        plain = run_attack_over_loader(fn, iter(data), **kw)
+        mesh = make_data_mesh()
+        shard = run_attack_over_loader(fn, iter(data), mesh=mesh, **kw)
+        assert len(plain) == len(shard)
+        for (pa, py_), (sa, sy) in zip(plain, shard):
+            assert sa.shape[0] == 3  # padding sliced back off
+            np.testing.assert_allclose(pa, sa, atol=1e-6)
+            np.testing.assert_array_equal(py_, sy)
+
+    def test_run_sea_sharded_matches_unsharded(self, rng):
+        from robseg_tpu.parallel import make_data_mesh
+        fn = _model(rng)
+        data = _batches(rng, n=2, bs=3)
+        kw = dict(num_classes=C, eps=8 / 255, n_iter=4,
+                  weights=np.ones(C, np.float32), seed=1)
+        plain = run_sea(fn, lambda: iter(data), **kw)
+        shard = run_sea(fn, lambda: iter(data), mesh=make_data_mesh(), **kw)
+        assert abs(plain["final_miou"] - shard["final_miou"]) < 1e-6
+        assert abs(plain["worst_Acc"] - shard["worst_Acc"]) < 1e-6
 
 
 class TestSEAResume:

@@ -106,3 +106,67 @@ class TestProfiling:
         ca = cost_analysis(lambda a, b: a @ b,
                            jnp.ones((64, 64)), jnp.ones((64, 64)))
         assert ca.get("flops", 0) >= 2 * 64 ** 3 * 0.9
+
+
+class TestSlidingWindowNaiveEquivalence:
+    """Numerical equivalence of the batched window sweep / MSF accumulation
+    to straightforward per-window / per-scale loops (VERDICT missing #6)."""
+
+    @staticmethod
+    def _conv_model(rng, c_out=5):
+        # non-pointwise model so windowing actually matters: 3x3 blur then
+        # channel mix
+        w = jnp.asarray(rng.normal(size=(3, c_out)).astype(np.float32))
+
+        def fn(b):
+            k = jnp.ones((3, 3, 1, 1), jnp.float32) / 9.0
+            blurred = jnp.concatenate([
+                jax.lax.conv_general_dilated(
+                    b[..., i:i + 1], k, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                for i in range(3)], -1)
+            return jnp.einsum("bhwc,cd->bhwd", blurred, w)
+        return fn
+
+    def test_overlapping_windows_match_naive_loop(self, rng):
+        fn = self._conv_model(rng)
+        img = jnp.asarray(rng.random((48, 40, 3)).astype(np.float32))
+        got = np.asarray(sliding_window_logits(fn, img, window=32,
+                                               stride=16, num_classes=5))
+
+        # naive loop (reference-shaped: segmenter_eval.py:51-123)
+        h, w = 48, 40
+        padded = np.zeros((48, 40, 3), np.float32)
+        padded[:h, :w] = np.asarray(img)
+        hs = [0, 16]
+        ws = [0, 8]  # 40-32=8: grid 0 then the 8 edge-anchored window
+        out = np.zeros((48, 40, 5), np.float32)
+        cnt = np.zeros((48, 40, 1), np.float32)
+        for i in hs:
+            for j in ws:
+                crop = padded[i:i + 32, j:j + 32]
+                lg = np.asarray(fn(jnp.asarray(crop[None])))[0]
+                out[i:i + 32, j:j + 32] += lg
+                cnt[i:i + 32, j:j + 32] += 1
+        np.testing.assert_allclose(got, out / cnt, atol=1e-5)
+
+    def test_msf_matches_naive_loop(self, rng):
+        from robseg_tpu.ops.resize import resize_bilinear
+        fn = self._conv_model(rng)
+        imgs = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        scales = (0.5, 1.0, 1.25)
+        got = np.asarray(multi_scale_flip_logits(
+            fn, imgs, scales=scales, flip=True, num_classes=5))
+
+        acc = np.zeros((2, 32, 32, 5), np.float32)
+        for s in scales:
+            nh = -(-int(s * 32) // 32) * 32
+            scaled = resize_bilinear(imgs, (nh, nh), align_corners=True)
+            for flipped in (False, True):
+                inp = scaled[:, :, ::-1] if flipped else scaled
+                lg = fn(inp)
+                if flipped:
+                    lg = lg[:, :, ::-1]
+                lg = resize_bilinear(lg, (32, 32), align_corners=True)
+                acc += np.asarray(jax.nn.softmax(lg, axis=-1))
+        np.testing.assert_allclose(got, acc, atol=1e-5)

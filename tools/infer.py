@@ -65,6 +65,12 @@ def main():
                         choices=["default", "bf16", "f32"],
                         help="matmul/conv precision: bf16 = fastest (MXU "
                              "native), f32 = reference parity")
+    parser.add_argument("--wc_engine", type=str, default="auto",
+                        choices=["auto", "native", "python", "reference",
+                                 "reference-python"],
+                        help="worst-case-mIoU search engine; 'reference' "
+                             "replicates the published code's class-list-"
+                             "shrink quirk (worse_only.py:79-93)")
     args = parser.parse_args()
 
     if args.precision == "bf16":
@@ -177,7 +183,7 @@ def main():
                           eps=eps / 255.0, n_iter=args.n_iter,
                           weights=weights, n_batches=args.n_batches,
                           seed=SEED, verbose=True, mesh=mesh,
-                          cache_tag=cache_tag,
+                          cache_tag=cache_tag, wc_engine=args.wc_engine,
                           resume_dir=os.path.join(save_dir, "argmax-logs"))
         logger.log(json.dumps(results, indent=2, default=float))
         # per-attack text reports; parity: writeIndivloss

@@ -153,21 +153,45 @@ def main():
 
     pretrained = model_cfg.get("PRETRAINED")
     if pretrained and os.path.exists(str(pretrained)):
-        # PIR init: robust-ImageNet backbone (convnext_orig.py:258-307)
+        # PIR init: robust-ImageNet backbone/encoder, per family —
+        # UperNet: ConvNeXt key-map (``convnext_orig.py:258-307``);
+        # SegMenter: ViT with pos-embed grid resampling
+        # (``segmenter.py:144-163`` checkpoint_filter_fn);
+        # PSPNet/DeepLab: robust ResNet-50 (``resnet_ddcat.py:213-240``).
         import torch
         from robseg_tpu.convert import (strip_prefixes,
-                                        convert_convnext_backbone)
-        sd = strip_prefixes({
-            k: v.numpy() for k, v in
-            torch.load(pretrained, map_location="cpu").items()})
+                                        convert_convnext_backbone,
+                                        convert_resnet_backbone,
+                                        convert_vit_encoder)
+        raw = torch.load(pretrained, map_location="cpu")
+        for key in ("model", "state_dict"):  # deit/mmcv-style nesting
+            if key in raw and isinstance(raw[key], dict):
+                raw = raw[key]
+        sd = strip_prefixes({k: v.numpy() for k, v in raw.items()})
         if model_name == "UperNetForSemanticSegmentation":
             variant = model_cfg["BACKBONE"].split("-")[1]
             bb = convert_convnext_backbone(sd, variant,
                                            cvst_ckpt_layout=True)
-            merged = dict(params)
-            merged["backbone"] = {**params["backbone"], **bb}
-            params = merged
-            logger.log(f"PIR init: loaded robust backbone from {pretrained}")
+            params = {**params, "backbone": {**params["backbone"], **bb}}
+        elif model_name == "SegMenter":
+            # target grid from the initialized model's own pos-embed
+            n_patches = params["encoder"]["pos_embed"].shape[1] - 1
+            g = int(round(float(np.sqrt(n_patches))))
+            variant = models.SEGMENTER_VARIANTS[model_cfg["BACKBONE"]]
+            enc = convert_vit_encoder(sd, n_layers=variant["n_layers"],
+                                      target_grid=(g, g))
+            params = {**params, "encoder": {**params["encoder"], **enc}}
+        elif model_name.startswith(("PSPNet", "DeepLabV3")):
+            bbp, bbs = convert_resnet_backbone(
+                sd, deep_base="clean" in str(cfg.get("ADDENDUM", "")))
+            params = {**params, "backbone": {**params["backbone"], **bbp}}
+            batch_stats = {**batch_stats,
+                           "backbone": {**batch_stats.get("backbone", {}),
+                                        **bbs}}
+        else:
+            raise ValueError(f"no PIR-init path for {model_name!r}")
+        logger.log(f"PIR init ({model_name}): loaded robust weights "
+                   f"from {pretrained}")
 
     tx, sched = build_optimizer(cfg, model_name, params, max_iters,
                                 iters_per_epoch)
@@ -202,7 +226,9 @@ def main():
 
         def raw_loader():
             sampler = ShardedEpochSampler(len(train_ds), n_dev,
-                                          seed=dataset_cfg.get("SEED", 0))
+                                          seed=dataset_cfg.get("SEED", 0),
+                                          num_hosts=jax.process_count(),
+                                          host_id=jax.process_index())
             it = int(jax.device_get(state.step))
             epoch = it // max(iters_per_epoch, 1)
             while it < max_iters:
@@ -229,9 +255,13 @@ def main():
         loader = prefetch(IterationBasedLoader(
             train_ds, num_shards=n_dev, batch_per_shard=per_dev,
             max_iters=max_iters, seed=dataset_cfg.get("SEED", 0),
-            start_iter=int(jax.device_get(state.step))), depth=2)
+            start_iter=int(jax.device_get(state.step)),
+            num_hosts=jax.process_count(),
+            host_id=jax.process_index()), depth=2)
 
-    def run_eval(state, n_batches=20):
+    def run_eval(state, n_batches=None):
+        if n_batches is None:
+            n_batches = t.eval_batches
         hist = replicate(mesh, jnp.zeros((n_cls, n_cls), jnp.float32))
         for x, y in simple_eval_loader(val_ds, n_dev, n_batches):
             if x.shape[0] != n_dev:
@@ -245,12 +275,12 @@ def main():
             hist = eval_step(state.params, state.batch_stats, bx, by, hist)
         return metrics_from_hist(jax.device_get(hist))
 
-    best_miou = 0.0
+    best_miou, best_aacc = 0.0, 0.0
     t0 = time.time()
     start_it = int(jax.device_get(state.step))
     train_loss, window = 0.0, 0
     log_every = max(iters_per_epoch // 2, 1)
-    eval_freq = 20  # parity: train_rob_seg.py:387
+    eval_freq = t.eval_freq  # parity default 20: train_rob_seg.py:387
 
     for it, (imgs, lbls) in enumerate(loader, start=start_it):
         bx, by = shard_batch(mesh, (imgs.astype(np.float32),
@@ -281,15 +311,43 @@ def main():
                 best_miou = m["mIoU"]
                 save_params_npz(os.path.join(save_path, "best_model.npz"),
                                 host_state.params)
+                if host_state.batch_stats:
+                    save_params_npz(
+                        os.path.join(save_path, "best_model.stats.npz"),
+                        host_state.batch_stats)
+            best_aacc = max(best_aacc, m["aAcc"])
+
+    # ---- endgame; parity: train_rob_seg.py:426-454 ----
+    from tabulate import tabulate
+    from robseg_tpu.train.checkpoint import load_params_npz
 
     host_state = jax.device_get(state)
     ckpt_mgr.save(int(host_state.step), host_state)
     save_params_npz(os.path.join(save_path, "final_model.npz"),
                     host_state.params)
+    elapsed = time.gmtime(time.time() - t0)
+    table = [["Best mIoU", f"{best_miou:.2f}"],
+             ["Best aAcc", f"{best_aacc:.2f}"],
+             ["Total Training Time", time.strftime("%H:%M:%S", elapsed)]]
+    logger.log(str(tabulate(table, numalign="right")))
+
+    # reload the best checkpoint (params + BN stats) and run the FULL val
+    # split (the reference re-prefixes "module." and loads into the DDP
+    # wrapper; here the state is functional)
+    best_path = os.path.join(save_path, "best_model.npz")
+    if os.path.exists(best_path):
+        best_params = load_params_npz(best_path, host_state.params)
+        stats_path = os.path.join(save_path, "best_model.stats.npz")
+        best_stats = (load_params_npz(stats_path, host_state.batch_stats)
+                      if host_state.batch_stats and os.path.exists(stats_path)
+                      else host_state.batch_stats)
+        state = replicate(mesh, host_state.replace(params=best_params,
+                                                   batch_stats=best_stats))
+        logger.log("Reloaded best checkpoint for the final evaluation")
     m = run_eval(state, n_batches=-1)
-    logger.log(f"Final: mIoU={m['mIoU']:.4f} aAcc={m['aAcc']:.4f} "
-               f"best mIoU={best_miou:.4f} "
-               f"time={str(datetime.timedelta(seconds=int(time.time() - t0)))}")
+    table = [["full mIoU", f"{m['mIoU']:.2f}"],
+             ["full aAcc", f"{m['aAcc']:.2f}"]]
+    logger.log(str(tabulate(table, numalign="right")))
     ckpt_mgr.close()
 
 
