@@ -182,6 +182,142 @@ convnext_mlp_fused.defvjp(_fused_fwd, _fused_bwd)
 convnext_mlp_fused_shared = jax.jit(convnext_mlp_fused)
 
 
+# ---------------------------------------------------------------------------
+# Residual-saving variant: the forward also writes the pre-GELU hidden ``h``
+# to HBM once, so the backward does exactly TWO matmuls (gm@W2^T, dh@W1^T)
+# like XLA's saved-residual autodiff — instead of the recompute variant's
+# three. Trade-off: the forward loses the "h never touches HBM" win; this
+# targets the ATTACK path where fwd+bwd run together every iteration.
+# ---------------------------------------------------------------------------
+
+def _fwd_save_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     g_ref, out_ref, h_ref, *, c_real: int):
+    x = x_ref[:]
+    cpad = x.shape[-1]
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
+            < c_real).astype(x.dtype)
+    mean, var, d = _ln_stats(x, mask, float(c_real))
+    u = d * jax.lax.rsqrt(var + 1e-6) * ls_ref[:] + lb_ref[:] * mask
+    h = jnp.dot(u, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    h_ref[:] = h
+    a = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    m = jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    out_ref[:] = g_ref[:] * m * mask
+
+
+def _bwd_resid_kernel(x_ref, h_ref, ls_ref, w1_ref, w2_ref, g_ref, gout_ref,
+                      dx_ref, *, c_real: int):
+    """dx with ``h`` read back from HBM: 2 matmuls; LN stats recomputed from
+    x in VMEM (vector ops only, no extra HBM traffic)."""
+    x = x_ref[:]
+    h = h_ref[:]
+    gout = gout_ref[:]
+    cpad = x.shape[-1]
+    c = float(c_real)
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
+            < c_real).astype(x.dtype)
+    mean, var, d = _ln_stats(x, mask, c)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    xhat = d * inv
+
+    gm = gout * g_ref[:] * mask
+    da = jnp.dot(gm, w2_ref[:].T, preferred_element_type=jnp.float32)
+    sq2 = 0.7071067811865476
+    cdf = 0.5 * (1.0 + _erf(h * sq2))
+    pdf = 0.3989422804014327 * jnp.exp(-0.5 * h * h)
+    dh = da * (cdf + h * pdf)
+    du = jnp.dot(dh, w1_ref[:].T, preferred_element_type=jnp.float32)
+    dxhat = du * ls_ref[:] * mask
+    s1 = dxhat.sum(-1, keepdims=True)
+    s2 = (dxhat * xhat).sum(-1, keepdims=True)
+    dx_ref[:] = inv * (dxhat - (s1 + xhat * s2) / c) * mask
+
+
+def _call_save(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+    """Forward returning (out, h_padded, n) — h stays in its padded
+    (npad, hid) layout for the backward."""
+    c = x.shape[-1]
+    p, (lsp, lbp, b2p, gp), w1p, b1p, w2p, n, cpad, hid, tile = _pack(
+        x, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+    grid = (p.shape[0] // tile,)
+    tspec = pl.BlockSpec((tile, cpad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((tile, hid), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    full = lambda r, k: pl.BlockSpec((r, k), lambda i: (0, 0),  # noqa: E731
+                                     memory_space=pltpu.VMEM)
+    out, h = pl.pallas_call(
+        functools.partial(_fwd_save_kernel, c_real=c),
+        grid=grid,
+        in_specs=[tspec, full(1, cpad), full(1, cpad), full(cpad, hid),
+                  full(1, hid), full(hid, cpad), full(1, cpad),
+                  full(1, cpad)],
+        out_specs=(tspec, hspec),
+        out_shape=(jax.ShapeDtypeStruct(p.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((p.shape[0], hid), jnp.float32)),
+    )(p, lsp, lbp, w1p, b1p, w2p, b2p, gp)
+    return out[:n, :c].reshape(x.shape), h
+
+
+def _call_resid_bwd(x, h_pad, ln_scale, w1, w2, gamma, gout):
+    c = x.shape[-1]
+    cpad = _round_up(c, 128)
+    hid = w1.shape[1]
+    p = x.reshape(-1, c)
+    n = p.shape[0]
+    tile = _tile_rows(hid)
+    npad = _round_up(n, tile)
+    p = jnp.pad(p, ((0, npad - n), (0, cpad - c)))
+    e = gout.reshape(-1, c)
+    e = jnp.pad(e, ((0, npad - n), (0, cpad - c)))
+    lsp = jnp.pad(ln_scale.reshape(1, -1), ((0, 0), (0, cpad - c)))
+    gp = jnp.pad(gamma.reshape(1, -1), ((0, 0), (0, cpad - c)))
+    w1p = jnp.pad(w1, ((0, cpad - c), (0, 0)))
+    w2p = jnp.pad(w2, ((0, 0), (0, cpad - c)))
+    grid = (npad // tile,)
+    tspec = pl.BlockSpec((tile, cpad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((tile, hid), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    full = lambda r, k: pl.BlockSpec((r, k), lambda i: (0, 0),  # noqa: E731
+                                     memory_space=pltpu.VMEM)
+    dx = pl.pallas_call(
+        functools.partial(_bwd_resid_kernel, c_real=c),
+        grid=grid,
+        in_specs=[tspec, hspec, full(1, cpad), full(cpad, hid),
+                  full(hid, cpad), full(1, cpad), tspec],
+        out_specs=tspec,
+        out_shape=jax.ShapeDtypeStruct((npad, cpad), jnp.float32),
+    )(p, h_pad, lsp, w1p, w2p, gp, e)
+    return dx[:n, :c].reshape(x.shape)
+
+
+@jax.custom_vjp
+def convnext_mlp_fused_rs(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+    """Residual-saving fused gamma*MLP(LN(x)); differentiable w.r.t. x ONLY
+    (attack use). Forward also materializes h once for the 2-matmul bwd."""
+    out, _ = _call_save(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+    return out
+
+
+def _rs_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+    out, h = _call_save(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, h)
+
+
+def _rs_bwd(res, gout):
+    x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, h = res
+    dx = _call_resid_bwd(x, h, ln_scale, w1, w2, gamma, gout)
+    zero = lambda v: jnp.zeros_like(v)  # noqa: E731
+    return (dx, zero(ln_scale), zero(ln_bias), zero(w1), zero(b1),
+            zero(w2), zero(b2), zero(gamma))
+
+
+convnext_mlp_fused_rs.defvjp(_rs_fwd, _rs_bwd)
+
+convnext_mlp_fused_rs_shared = jax.jit(convnext_mlp_fused_rs)
+
+
 def convnext_mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
     """Pure-JAX composition (the default path; also the parity oracle)."""
     mean = x.mean(-1, keepdims=True)

@@ -49,6 +49,10 @@ class ConvNeXtBlock(nn.Module):
     drop_path: float = 0.0
     layer_scale_init_value: float = 1.0
     fused_mlp: bool = False
+    # "residual": fwd also writes the pre-GELU hidden once so the bwd does
+    # 2 matmuls (attack path); "recompute": h never touches HBM, bwd
+    # recomputes it (inference/eval-only path)
+    fused_mlp_mode: str = "residual"
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -75,8 +79,12 @@ class ConvNeXtBlock(nn.Module):
             norm(dummy)
             pw1(dummy)
             pw2(jnp.zeros((1, 4 * self.dim), y.dtype))
-            from robseg_tpu.kernels.convnext_mlp import (
-                convnext_mlp_fused_shared as convnext_mlp_fused)
+            if self.fused_mlp_mode == "residual":
+                from robseg_tpu.kernels.convnext_mlp import (
+                    convnext_mlp_fused_rs_shared as convnext_mlp_fused)
+            else:
+                from robseg_tpu.kernels.convnext_mlp import (
+                    convnext_mlp_fused_shared as convnext_mlp_fused)
             np_ = norm.variables["params"]
             p1 = pw1.variables["params"]
             p2 = pw2.variables["params"]
@@ -133,6 +141,7 @@ class ConvNeXt(nn.Module):
     layer_scale_init_value: float = 1.0
     out_indices: Sequence[int] = (0, 1, 2, 3)
     fused_mlp: bool = False  # Pallas LN/MLP fusion (attack/eval only)
+    fused_mlp_mode: str = "residual"  # see ConvNeXtBlock.fused_mlp_mode
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True
@@ -159,6 +168,7 @@ class ConvNeXt(nn.Module):
                     dims[i], drop_path=float(dp_rates[cur + j]),
                     layer_scale_init_value=self.layer_scale_init_value,
                     fused_mlp=self.fused_mlp,
+                    fused_mlp_mode=self.fused_mlp_mode,
                     name=f"stage{i}_block{j}")(x, deterministic)
             cur += depths[i]
             if i in self.out_indices:

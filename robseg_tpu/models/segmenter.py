@@ -69,7 +69,7 @@ class MaskTransformer(nn.Module):
         for i in range(self.n_layers):
             x = Block(self.d_model, self.n_heads, self.d_ff, self.dropout,
                       float(dpr[i]), name=f"block{i}")(x, deterministic)
-        x = nn.LayerNorm(name="decoder_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")(x)
 
         patches, cls_feat = x[:, :-self.n_cls], x[:, -self.n_cls:]
         proj_patch = self.param("proj_patch", nn.initializers.normal(scale),
@@ -83,7 +83,7 @@ class MaskTransformer(nn.Module):
         cls_feat = cls_feat / jnp.linalg.norm(cls_feat, axis=-1, keepdims=True)
 
         masks = jnp.einsum("bnd,bkd->bnk", patches, cls_feat)
-        masks = nn.LayerNorm(name="mask_norm")(masks)
+        masks = nn.LayerNorm(epsilon=1e-5, name="mask_norm")(masks)
         b, n, k = masks.shape
         return masks.reshape(b, h, n // h, k)
 

@@ -95,11 +95,13 @@ class UperNetForSemanticSegmentation(nn.Module):
     num_classes: int = 21
     bn_axis_name: Optional[str] = None
     fused_mlp: bool = False  # Pallas ConvNeXt LN/MLP fusion (eval/attack)
+    fused_mlp_mode: str = "residual"  # see ConvNeXtBlock.fused_mlp_mode
 
     @nn.compact
     def __call__(self, x: Array, labels: Optional[Array] = None,
                  train: bool = False):
         feats = ConvNeXt(self.backbone_variant, fused_mlp=self.fused_mlp,
+                         fused_mlp_mode=self.fused_mlp_mode,
                          name="backbone")(x, deterministic=not train)
         dims = CONVNEXT_SETTINGS[self.backbone_variant][1]
         logits = UperNetHead(self.num_classes, in_channels=dims,

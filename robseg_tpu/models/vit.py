@@ -6,10 +6,14 @@ pos-embed with on-the-fly bilinear resize for non-native grids (``:68-86``),
 pre-norm transformer blocks (``:130-145``), final LayerNorm; ``pre_neck``
 returns the token sequence (``:265-294``).
 
-TPU-first notes: attention runs via ``jax.nn.dot_product_attention`` (XLA
-fuses QK^T/softmax/V into flash-style kernels on TPU); sequence length for
-512^2/16 inputs is 1025 tokens + class embeddings, which fits VMEM-tiled
-attention comfortably.
+TPU-first notes: attention is explicit einsum QK^T/softmax/V — XLA fuses it
+into flash-style kernels on TPU, and unlike ``jax.nn.dot_product_attention``
+it honors the session matmul precision and the reference's scale-after-
+matmul order (differential-tested, see tests/test_reference_diff.py).
+Sequence length for 512^2/16 inputs is 1025 tokens + class embeddings,
+which fits VMEM-tiled attention comfortably. All LayerNorms pin the torch
+default epsilon=1e-5 (flax defaults to 1e-6 — a real parity bug the
+differential harness caught).
 """
 
 from __future__ import annotations
@@ -59,7 +63,14 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        y = jax.nn.dot_product_attention(q, k, v)  # scale = head_dim**-0.5
+        # explicit einsum attention, NOT jax.nn.dot_product_attention: the
+        # latter scales q BEFORE the matmul and computes internally at
+        # reduced precision (measured 7e-7 off in f64) — the reference
+        # computes (q @ k^T) * head_dim**-0.5 then softmax
+        # (vit_encoder.py:118-123); differential tests require that order
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head_dim ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         y = y.reshape(b, n, c)
         y = nn.Dense(self.dim, name="proj")(y)
         if self.dropout > 0:
@@ -98,10 +109,10 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         y = Attention(self.dim, self.heads, self.dropout, name="attn")(
-            nn.LayerNorm(name="norm1")(x), deterministic)
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x), deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
         y = FeedForward(self.dim, self.mlp_dim, self.dropout, name="mlp")(
-            nn.LayerNorm(name="norm2")(x), deterministic)
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), deterministic)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
         return x
 
@@ -159,4 +170,4 @@ class VisionTransformer(nn.Module):
         for i in range(self.n_layers):
             x = Block(self.d_model, self.n_heads, self.d_ff, self.dropout,
                       float(dpr[i]), name=f"block{i}")(x, deterministic)
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)

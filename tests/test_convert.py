@@ -116,7 +116,7 @@ class TestNumericalBlockParity:
 
         with torch.no_grad():
             tx = torch.from_numpy(x)
-            h = F.layer_norm(tx, (dim,), n1w, n1b, 1e-6)
+            h = F.layer_norm(tx, (dim,), n1w, n1b, 1e-5)
             qkv_o = qkv(h).reshape(2, n, 3, heads, dim // heads
                                    ).permute(2, 0, 3, 1, 4)
             q, k, v = qkv_o[0], qkv_o[1], qkv_o[2]
@@ -124,7 +124,7 @@ class TestNumericalBlockParity:
             att = att.softmax(-1)
             h = (att @ v).transpose(1, 2).reshape(2, n, dim)
             tx = tx + proj(h)
-            h = F.layer_norm(tx, (dim,), n2w, n2b, 1e-6)
+            h = F.layer_norm(tx, (dim,), n2w, n2b, 1e-5)
             ref = (tx + fc2(F.gelu(fc1(h)))).numpy()
 
         m = VitBlock(dim, heads, dim * 4, dropout=0.0, drop_path=0.0)
@@ -771,7 +771,7 @@ class TestSegmenterFullParity:
 
         def blk_t(x, p, nh):
             h = F.layer_norm(x, (d,), t(store[f"{p}.n1"][0]),
-                             t(store[f"{p}.n1"][1]), 1e-6)
+                             t(store[f"{p}.n1"][1]), 1e-5)
             qkv = F.linear(h, t(store[f"{p}.qkv"][0]), t(store[f"{p}.qkv"][1]))
             b, n, _ = qkv.shape
             qkv = qkv.reshape(b, n, 3, nh, d // nh).permute(
@@ -782,7 +782,7 @@ class TestSegmenterFullParity:
             x = x + F.linear(h, t(store[f"{p}.proj"][0]),
                              t(store[f"{p}.proj"][1]))
             h = F.layer_norm(x, (d,), t(store[f"{p}.n2"][0]),
-                             t(store[f"{p}.n2"][1]), 1e-6)
+                             t(store[f"{p}.n2"][1]), 1e-5)
             h = F.gelu(F.linear(h, t(store[f"{p}.fc1"][0]),
                                 t(store[f"{p}.fc1"][1])))
             return x + F.linear(h, t(store[f"{p}.fc2"][0]),
@@ -810,14 +810,14 @@ class TestSegmenterFullParity:
             for i in range(n_layers):
                 x = blk_t(x, f"e{i}", heads)
             x = F.layer_norm(x, (d,), t(store["enorm"][0]),
-                             t(store["enorm"][1]), 1e-6)
+                             t(store["enorm"][1]), 1e-5)
             x = x[:, 1:]
             x = F.linear(x, t(store["proj_dec"][0]), t(store["proj_dec"][1]))
             x = torch.cat([x, t(store["cls_emb"]).expand(1, -1, -1)], 1)
             for i in range(dec_layers):
                 x = blk_t(x, f"d{i}", d // 64)
             x = F.layer_norm(x, (d,), t(store["dnorm"][0]),
-                             t(store["dnorm"][1]), 1e-6)
+                             t(store["dnorm"][1]), 1e-5)
             patches, clsf = x[:, :-ncls], x[:, -ncls:]
             patches = patches @ t(store["proj_patch"])
             clsf = clsf @ t(store["proj_classes"])
@@ -825,7 +825,7 @@ class TestSegmenterFullParity:
             clsf = clsf / clsf.norm(dim=-1, keepdim=True)
             masks = patches @ clsf.transpose(1, 2)
             masks = F.layer_norm(masks, (ncls,), t(store["mask_norm"][0]),
-                                 t(store["mask_norm"][1]), 1e-6)
+                                 t(store["mask_norm"][1]), 1e-5)
             masks = masks.reshape(1, gh, gw, ncls).permute(0, 3, 1, 2)
             masks = F.interpolate(masks, size=(Hp, Wp), mode="bilinear",
                                   align_corners=False)

@@ -117,3 +117,44 @@ class TestConvNextMlpKernel:
         for a, b in zip(got, want):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-5)
+
+
+class TestConvNextMlpResidualSaving:
+    """Residual-saving variant (fwd writes h once; bwd = 2 matmuls)."""
+
+    def test_forward_and_grad_match_reference(self, rng):
+        from robseg_tpu.kernels.convnext_mlp import (convnext_mlp_fused_rs,
+                                                     convnext_mlp_reference)
+        from jax.experimental.pallas import tpu as pltpu
+        c = 96
+        p = TestConvNextMlpKernel._params(None, rng, c)
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, c)).astype(np.float32))
+        args = [p[k] for k in ("ln_scale", "ln_bias", "w1", "b1", "w2",
+                               "b2", "gamma")]
+
+        want = convnext_mlp_reference(x, **p)
+        want_g = jax.grad(
+            lambda z: (convnext_mlp_reference(z, **p) ** 2).sum())(x)
+        with pltpu.force_tpu_interpret_mode():
+            got = convnext_mlp_fused_rs(x, *args)
+            got_g = jax.grad(
+                lambda z: (convnext_mlp_fused_rs(z, *args) ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_backbone_residual_mode_matches_default(self, rng):
+        from robseg_tpu import models
+        from jax.experimental.pallas import tpu as pltpu
+        x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+        m0 = models.ConvNeXt("T_CVST")
+        v = m0.init(jax.random.PRNGKey(0), x)
+        want = m0.apply(v, x)
+        m1 = models.ConvNeXt("T_CVST", fused_mlp=True,
+                             fused_mlp_mode="residual")
+        with pltpu.force_tpu_interpret_mode():
+            got = m1.apply(v, x)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-5)

@@ -1,0 +1,85 @@
+"""Quantify the full-bf16 attack mode's metric deviation vs f32.
+
+Runs the SEA per-loss attack (apgd_largereps, mask-ce-avg) on one fixed
+batch at eps in {4, 8}/255 twice — default precision (f32 activations,
+bf16 MXU) and full bf16 (params + activations, the ``tools.infer
+--precision bf16`` mode) — and reports robust pixel-acc and mIoU deltas.
+Metrics are always computed in f32 from the final adversarial logits.
+
+Results documented in BENCHMARKS.md ("Full-bf16 eval mode").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from robseg_tpu import models
+    from robseg_tpu.attacks.apgd import apgd_largereps
+    from robseg_tpu.ops.metrics import (confusion_matrix, iou_from_hist,
+                                        pixel_acc_from_hist)
+
+    batch, hw, n_cls, n_iter = 8, 512, 21, 50
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((batch, hw, hw, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, n_cls, (batch, hw, hw)).astype(np.int32))
+
+    module = models.UperNetForSemanticSegmentation(
+        backbone_variant="T_CVST", num_classes=n_cls)
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, hw, hw, 3), jnp.float32))
+    v16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, variables)
+
+    def fn_f32(xx):
+        return module.apply(variables, xx)
+
+    def fn_bf16(xx):
+        return module.apply(v16, xx.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    def metrics(fn, x_adv):
+        pred = jnp.argmax(fn(x_adv), -1).astype(jnp.int32)
+        h = confusion_matrix(pred, y, num_classes=n_cls, ignore_label=-1)
+        _, _, aacc = pixel_acc_from_hist(h)
+        _, miou = iou_from_hist(h)
+        return float(aacc), float(miou)
+
+    out = {}
+    for eps in (4.0, 8.0):
+        for name, fn in (("f32", fn_f32), ("bf16", fn_bf16)):
+            t0 = time.perf_counter()
+            adv, _, acc = apgd_largereps(
+                fn, x, y, weights=None, norm="Linf", eps=eps / 255,
+                n_iter=n_iter, loss="mask-ce-avg", early_stop=True,
+                track_loss="ce-avg", use_rs=True,
+                rng=jax.random.PRNGKey(1))
+            # metrics ALWAYS via the f32 model (the protocol's eval pass)
+            aacc, miou = metrics(fn_f32, adv)
+            out[f"eps{int(eps)}_{name}_rob_aAcc"] = round(aacc, 5)
+            out[f"eps{int(eps)}_{name}_rob_mIoU"] = round(miou, 5)
+            out[f"eps{int(eps)}_{name}_mean_acc"] = round(
+                float(np.asarray(acc).mean()), 5)
+            print(f"eps={eps} {name}: aAcc={aacc:.5f} mIoU={miou:.5f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        out[f"eps{int(eps)}_delta_aAcc"] = round(
+            out[f"eps{int(eps)}_bf16_rob_aAcc"]
+            - out[f"eps{int(eps)}_f32_rob_aAcc"], 5)
+        out[f"eps{int(eps)}_delta_mIoU"] = round(
+            out[f"eps{int(eps)}_bf16_rob_mIoU"]
+            - out[f"eps{int(eps)}_f32_rob_mIoU"], 5)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
