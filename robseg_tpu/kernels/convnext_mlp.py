@@ -53,6 +53,21 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _dot(a, b, mxu_bf16: bool):
+    """MXU matmul with f32 accumulate.
+
+    ``mxu_bf16=True`` truncates both operands to bf16 first — the SAME
+    numerics as XLA's DEFAULT matmul precision (one MXU pass). With f32
+    operands Mosaic must emulate f32 multiplication in multiple bf16
+    passes, which made the round-1 kernels' matmuls ~3x slower than the
+    XLA default path they competed against (BENCHMARKS.md round-2).
+    """
+    if mxu_bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
 def _ln_stats(x, mask, c_real):
     """Masked LayerNorm statistics over the (padded) channel axis."""
     mean = (x * mask).sum(-1, keepdims=True) / c_real
@@ -62,22 +77,23 @@ def _ln_stats(x, mask, c_real):
 
 
 def _fwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                g_ref, out_ref, *, c_real: int):
+                g_ref, out_ref, *, c_real: int, mxu_bf16: bool = False):
     x = x_ref[:]
     cpad = x.shape[-1]
     mask = (jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
             < c_real).astype(x.dtype)
     mean, var, d = _ln_stats(x, mask, float(c_real))
     u = d * jax.lax.rsqrt(var + 1e-6) * ls_ref[:] + lb_ref[:] * mask
-    h = jnp.dot(u, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    h = _dot(u, w1_ref[:], mxu_bf16) + b1_ref[:]
     # exact-form (erf) GELU via the polynomial erf above
     a = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
-    m = jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    m = _dot(a, w2_ref[:], mxu_bf16) + b2_ref[:]
     out_ref[:] = g_ref[:] * m * mask
 
 
 def _bwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                g_ref, gout_ref, dx_ref, *, c_real: int):
+                g_ref, gout_ref, dx_ref, *, c_real: int,
+                mxu_bf16: bool = False):
     """dy for m = gamma*(gelu(LN(y)W1+b1)W2+b2); recomputes forward
     intermediates per tile."""
     x = x_ref[:]
@@ -90,16 +106,16 @@ def _bwd_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     inv = jax.lax.rsqrt(var + 1e-6)
     xhat = d * inv
     u = xhat * ls_ref[:] + lb_ref[:] * mask
-    h = jnp.dot(u, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    h = _dot(u, w1_ref[:], mxu_bf16) + b1_ref[:]
 
     gm = gout * g_ref[:] * mask
-    da = jnp.dot(gm, w2_ref[:].T, preferred_element_type=jnp.float32)
+    da = _dot(gm, w2_ref[:].T, mxu_bf16)
     # exact-form gelu' via the polynomial erf
     sq2 = 0.7071067811865476
     cdf = 0.5 * (1.0 + _erf(h * sq2))
     pdf = 0.3989422804014327 * jnp.exp(-0.5 * h * h)
     dh = da * (cdf + h * pdf)
-    du = jnp.dot(dh, w1_ref[:].T, preferred_element_type=jnp.float32)
+    du = _dot(dh, w1_ref[:].T, mxu_bf16)
     dxhat = du * ls_ref[:] * mask
     # layernorm backward (masked channels contribute zero)
     s1 = dxhat.sum(-1, keepdims=True)
@@ -126,10 +142,12 @@ def _pack(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
 
 
 def _call(kernel, x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-          extra=None):
+          extra=None, mxu_bf16=False):
     c = x.shape[-1]
     p, (lsp, lbp, b2p, gp), w1p, b1p, w2p, n, cpad, hid, tile = _pack(
         x, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+    if mxu_bf16:  # half the resident VMEM for the weight panels
+        w1p, w2p = w1p.astype(jnp.bfloat16), w2p.astype(jnp.bfloat16)
     ins = [p, lsp, lbp, w1p, b1p, w2p, b2p, gp]
     if extra is not None:
         e = extra.reshape(-1, c)
@@ -145,7 +163,7 @@ def _call(kernel, x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     if extra is not None:
         in_specs.append(tile)
     out = pl.pallas_call(
-        functools.partial(kernel, c_real=c),
+        functools.partial(kernel, c_real=c, mxu_bf16=mxu_bf16),
         grid=grid, in_specs=in_specs, out_specs=tile,
         out_shape=jax.ShapeDtypeStruct(p.shape, jnp.float32),
     )(*ins)
@@ -191,22 +209,23 @@ convnext_mlp_fused_shared = jax.jit(convnext_mlp_fused)
 # ---------------------------------------------------------------------------
 
 def _fwd_save_kernel(x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                     g_ref, out_ref, h_ref, *, c_real: int):
+                     g_ref, out_ref, h_ref, *, c_real: int,
+                     mxu_bf16: bool = False):
     x = x_ref[:]
     cpad = x.shape[-1]
     mask = (jax.lax.broadcasted_iota(jnp.int32, (1, cpad), 1)
             < c_real).astype(x.dtype)
     mean, var, d = _ln_stats(x, mask, float(c_real))
     u = d * jax.lax.rsqrt(var + 1e-6) * ls_ref[:] + lb_ref[:] * mask
-    h = jnp.dot(u, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    h = _dot(u, w1_ref[:], mxu_bf16) + b1_ref[:]
     h_ref[:] = h
     a = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
-    m = jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    m = _dot(a, w2_ref[:], mxu_bf16) + b2_ref[:]
     out_ref[:] = g_ref[:] * m * mask
 
 
 def _bwd_resid_kernel(x_ref, h_ref, ls_ref, w1_ref, w2_ref, g_ref, gout_ref,
-                      dx_ref, *, c_real: int):
+                      dx_ref, *, c_real: int, mxu_bf16: bool = False):
     """dx with ``h`` read back from HBM: 2 matmuls; LN stats recomputed from
     x in VMEM (vector ops only, no extra HBM traffic)."""
     x = x_ref[:]
@@ -221,24 +240,27 @@ def _bwd_resid_kernel(x_ref, h_ref, ls_ref, w1_ref, w2_ref, g_ref, gout_ref,
     xhat = d * inv
 
     gm = gout * g_ref[:] * mask
-    da = jnp.dot(gm, w2_ref[:].T, preferred_element_type=jnp.float32)
+    da = _dot(gm, w2_ref[:].T, mxu_bf16)
     sq2 = 0.7071067811865476
     cdf = 0.5 * (1.0 + _erf(h * sq2))
     pdf = 0.3989422804014327 * jnp.exp(-0.5 * h * h)
     dh = da * (cdf + h * pdf)
-    du = jnp.dot(dh, w1_ref[:].T, preferred_element_type=jnp.float32)
+    du = _dot(dh, w1_ref[:].T, mxu_bf16)
     dxhat = du * ls_ref[:] * mask
     s1 = dxhat.sum(-1, keepdims=True)
     s2 = (dxhat * xhat).sum(-1, keepdims=True)
     dx_ref[:] = inv * (dxhat - (s1 + xhat * s2) / c) * mask
 
 
-def _call_save(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+def _call_save(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+               mxu_bf16=False):
     """Forward returning (out, h_padded, n) — h stays in its padded
     (npad, hid) layout for the backward."""
     c = x.shape[-1]
     p, (lsp, lbp, b2p, gp), w1p, b1p, w2p, n, cpad, hid, tile = _pack(
         x, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+    if mxu_bf16:
+        w1p, w2p = w1p.astype(jnp.bfloat16), w2p.astype(jnp.bfloat16)
     grid = (p.shape[0] // tile,)
     tspec = pl.BlockSpec((tile, cpad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -247,7 +269,7 @@ def _call_save(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
     full = lambda r, k: pl.BlockSpec((r, k), lambda i: (0, 0),  # noqa: E731
                                      memory_space=pltpu.VMEM)
     out, h = pl.pallas_call(
-        functools.partial(_fwd_save_kernel, c_real=c),
+        functools.partial(_fwd_save_kernel, c_real=c, mxu_bf16=mxu_bf16),
         grid=grid,
         in_specs=[tspec, full(1, cpad), full(1, cpad), full(cpad, hid),
                   full(1, hid), full(hid, cpad), full(1, cpad),
@@ -259,7 +281,8 @@ def _call_save(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
     return out[:n, :c].reshape(x.shape), h
 
 
-def _call_resid_bwd(x, h_pad, ln_scale, w1, w2, gamma, gout):
+def _call_resid_bwd(x, h_pad, ln_scale, w1, w2, gamma, gout,
+                    mxu_bf16=False):
     c = x.shape[-1]
     cpad = _round_up(c, 128)
     hid = w1.shape[1]
@@ -274,6 +297,8 @@ def _call_resid_bwd(x, h_pad, ln_scale, w1, w2, gamma, gout):
     gp = jnp.pad(gamma.reshape(1, -1), ((0, 0), (0, cpad - c)))
     w1p = jnp.pad(w1, ((0, cpad - c), (0, 0)))
     w2p = jnp.pad(w2, ((0, 0), (0, cpad - c)))
+    if mxu_bf16:
+        w1p, w2p = w1p.astype(jnp.bfloat16), w2p.astype(jnp.bfloat16)
     grid = (npad // tile,)
     tspec = pl.BlockSpec((tile, cpad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -282,7 +307,7 @@ def _call_resid_bwd(x, h_pad, ln_scale, w1, w2, gamma, gout):
     full = lambda r, k: pl.BlockSpec((r, k), lambda i: (0, 0),  # noqa: E731
                                      memory_space=pltpu.VMEM)
     dx = pl.pallas_call(
-        functools.partial(_bwd_resid_kernel, c_real=c),
+        functools.partial(_bwd_resid_kernel, c_real=c, mxu_bf16=mxu_bf16),
         grid=grid,
         in_specs=[tspec, hspec, full(1, cpad), full(cpad, hid),
                   full(hid, cpad), full(1, cpad), tspec],
@@ -326,3 +351,67 @@ def convnext_mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
     h = u @ w1 + b1
     a = jax.nn.gelu(h, approximate=False)
     return gamma * (a @ w2 + b2)
+
+
+# ---------------------------------------------------------------------------
+# bf16-MXU variants: operands truncated to bf16 before each MXU pass — the
+# same numerics as XLA's DEFAULT matmul precision on TPU (which is what the
+# competing default path actually runs), at 1 MXU pass instead of Mosaic's
+# multi-pass f32 emulation. f32 accumulate, f32 LN/GELU, f32 output.
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def convnext_mlp_fused_bf16(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+    """Fused gamma*MLP(LN(x)), bf16 MXU passes (XLA-DEFAULT numerics);
+    recompute backward; differentiable w.r.t. x ONLY."""
+    return _call(_fwd_kernel, x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                 mxu_bf16=True)
+
+
+def _fused_bf16_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+    out = convnext_mlp_fused_bf16(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                                  gamma)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+
+
+def _fused_bf16_bwd(res, gout):
+    x, ln_scale, ln_bias, w1, b1, w2, b2, gamma = res
+    dx = _call(_bwd_kernel, x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+               extra=gout, mxu_bf16=True)
+    zero = lambda v: jnp.zeros_like(v)  # noqa: E731
+    return (dx, zero(ln_scale), zero(ln_bias), zero(w1), zero(b1),
+            zero(w2), zero(b2), zero(gamma))
+
+
+convnext_mlp_fused_bf16.defvjp(_fused_bf16_fwd, _fused_bf16_bwd)
+
+convnext_mlp_fused_bf16_shared = jax.jit(convnext_mlp_fused_bf16)
+
+
+@jax.custom_vjp
+def convnext_mlp_fused_rs_bf16(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+    """Residual-saving fused gamma*MLP(LN(x)), bf16 MXU passes; 2-matmul
+    backward reading the saved pre-GELU hidden; differentiable w.r.t. x
+    ONLY."""
+    out, _ = _call_save(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                        mxu_bf16=True)
+    return out
+
+
+def _rs_bf16_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+    out, h = _call_save(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                        mxu_bf16=True)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, h)
+
+
+def _rs_bf16_bwd(res, gout):
+    x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, h = res
+    dx = _call_resid_bwd(x, h, ln_scale, w1, w2, gamma, gout, mxu_bf16=True)
+    zero = lambda v: jnp.zeros_like(v)  # noqa: E731
+    return (dx, zero(ln_scale), zero(ln_bias), zero(w1), zero(b1),
+            zero(w2), zero(b2), zero(gamma))
+
+
+convnext_mlp_fused_rs_bf16.defvjp(_rs_bf16_fwd, _rs_bf16_bwd)
+
+convnext_mlp_fused_rs_bf16_shared = jax.jit(convnext_mlp_fused_rs_bf16)

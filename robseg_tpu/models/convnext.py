@@ -79,12 +79,13 @@ class ConvNeXtBlock(nn.Module):
             norm(dummy)
             pw1(dummy)
             pw2(jnp.zeros((1, 4 * self.dim), y.dtype))
-            if self.fused_mlp_mode == "residual":
-                from robseg_tpu.kernels.convnext_mlp import (
-                    convnext_mlp_fused_rs_shared as convnext_mlp_fused)
-            else:
-                from robseg_tpu.kernels.convnext_mlp import (
-                    convnext_mlp_fused_shared as convnext_mlp_fused)
+            from robseg_tpu.kernels import convnext_mlp as _k
+            convnext_mlp_fused = {
+                "residual": _k.convnext_mlp_fused_rs_shared,
+                "recompute": _k.convnext_mlp_fused_shared,
+                "residual_bf16": _k.convnext_mlp_fused_rs_bf16_shared,
+                "recompute_bf16": _k.convnext_mlp_fused_bf16_shared,
+            }[self.fused_mlp_mode]
             np_ = norm.variables["params"]
             p1 = pw1.variables["params"]
             p2 = pw2.variables["params"]

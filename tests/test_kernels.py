@@ -158,3 +158,79 @@ class TestConvNextMlpResidualSaving:
         for a, b in zip(got, want):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-5)
+
+
+class TestFusedMLPBf16:
+    """bf16-MXU kernel variants: XLA-DEFAULT matmul numerics in Pallas."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(7)
+
+    def _params(self, rng, c):
+        return dict(
+            ln_scale=jnp.asarray(rng.random(c).astype(np.float32) + 0.5),
+            ln_bias=jnp.asarray(rng.normal(size=c).astype(np.float32) * 0.1),
+            w1=jnp.asarray(rng.normal(size=(c, 4 * c)).astype(np.float32)
+                           * 0.05),
+            b1=jnp.asarray(rng.normal(size=4 * c).astype(np.float32) * 0.1),
+            w2=jnp.asarray(rng.normal(size=(4 * c, c)).astype(np.float32)
+                           * 0.05),
+            b2=jnp.asarray(rng.normal(size=c).astype(np.float32) * 0.1),
+            gamma=jnp.asarray(rng.random(c).astype(np.float32)),
+        )
+
+    @staticmethod
+    def _reference_bf16(x, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+        """Oracle: pure-JAX block with operands truncated to bf16 at each
+        matmul (== XLA DEFAULT precision on TPU, f32 accumulate)."""
+        bf = lambda a: a.astype(jnp.bfloat16)  # noqa: E731
+        mean = x.mean(-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(-1, keepdims=True)
+        u = (x - mean) * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
+        h = jnp.dot(bf(u), bf(w1),
+                    preferred_element_type=jnp.float32) + b1
+        a = jax.nn.gelu(h, approximate=False)
+        return gamma * (jnp.dot(bf(a), bf(w2),
+                                preferred_element_type=jnp.float32) + b2)
+
+    @pytest.mark.parametrize("which", ["recompute", "rs"])
+    def test_forward_matches_bf16_oracle(self, rng, which):
+        from robseg_tpu.kernels.convnext_mlp import (
+            convnext_mlp_fused_bf16, convnext_mlp_fused_rs_bf16)
+        from jax.experimental.pallas import tpu as pltpu
+        fn = (convnext_mlp_fused_bf16 if which == "recompute"
+              else convnext_mlp_fused_rs_bf16)
+        c = 96
+        p = self._params(rng, c)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, c)).astype(np.float32))
+        want = self._reference_bf16(x, **p)
+        with pltpu.force_tpu_interpret_mode():
+            got = fn(x, *[p[k] for k in ("ln_scale", "ln_bias", "w1", "b1",
+                                         "w2", "b2", "gamma")])
+        # same matmul truncation; the erf-poly vs exact-erf difference can
+        # flip the bf16 rounding of individual second-matmul operands, so
+        # the bound is bf16-ulp-scale, not f32-scale
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=1e-2)
+
+    @pytest.mark.parametrize("which", ["recompute", "rs"])
+    def test_input_grad_close_to_f32_reference(self, rng, which):
+        from robseg_tpu.kernels.convnext_mlp import (
+            convnext_mlp_fused_bf16, convnext_mlp_fused_rs_bf16,
+            convnext_mlp_reference)
+        from jax.experimental.pallas import tpu as pltpu
+        fn = (convnext_mlp_fused_bf16 if which == "recompute"
+              else convnext_mlp_fused_rs_bf16)
+        c = 96
+        p = self._params(rng, c)
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, c)).astype(np.float32))
+        args = [p[k] for k in ("ln_scale", "ln_bias", "w1", "b1", "w2",
+                               "b2", "gamma")]
+        want = jax.grad(lambda z: (convnext_mlp_reference(z, **p) ** 2)
+                        .sum())(x)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(lambda z: (fn(z, *args) ** 2).sum())(x)
+        # bf16 truncation noise only — grads must still be close in f32
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-2, rtol=5e-2)

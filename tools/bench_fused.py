@@ -58,9 +58,12 @@ def main():
     def make(mode):
         if mode == "default":
             return base
+        mode_map = {"rs": "residual", "recompute": "recompute",
+                    "rs_bf16": "residual_bf16",
+                    "recompute_bf16": "recompute_bf16"}
         return models.UperNetForSemanticSegmentation(
             backbone_variant="T_CVST", num_classes=n_cls, fused_mlp=True,
-            fused_mlp_mode="residual" if mode == "rs" else "recompute")
+            fused_mlp_mode=mode_map[mode])
 
     def time_call(fn, reps=3):
         fn()  # compile/warm
@@ -78,8 +81,10 @@ def main():
         for mode in modes + (["recompute"] if "recompute" not in modes
                              else []):
             m = make(mode)
-            fwd = jax.jit(lambda xx, mm=m: mm.apply(variables, xx))
-            dt = time_call(lambda: fwd(x))
+            # force completion via a 4-byte scalar transfer — transferring
+            # the full logits through the tunnel (~88 MB) can dominate
+            fwd = jax.jit(lambda xx, mm=m: mm.apply(variables, xx).mean())
+            dt = time_call(lambda: fwd(x), reps=10)
             results[f"fwd_full_{mode}_ms"] = round(dt * 1000, 1)
             print(f"full fwd {mode}: {dt * 1000:.1f} ms", flush=True)
 
