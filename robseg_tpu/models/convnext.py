@@ -56,9 +56,10 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        y = nn.Conv(self.dim, (7, 7), padding=3,
-                    feature_group_count=self.dim,
-                    kernel_init=trunc_normal_init(0.02), name="dwconv")(x)
+        dwconv = nn.Conv(self.dim, (7, 7), padding=3,
+                         feature_group_count=self.dim,
+                         kernel_init=trunc_normal_init(0.02), name="dwconv")
+        y = dwconv(x)
         norm = nn.LayerNorm(epsilon=1e-6, name="norm")
         pw1 = nn.Dense(4 * self.dim, kernel_init=trunc_normal_init(0.02),
                        name="pwconv1")
@@ -72,7 +73,34 @@ class ConvNeXtBlock(nn.Module):
         # 16x16 spatial grid gains nothing from fusion — fuse dims <= 384
         use_fused = (self.fused_mlp and self.dim <= 384
                      and not self.is_initializing())
-        if use_fused:
+        # whole-block kernel for the large-spatial stages (dims <= 192).
+        # Measured (BENCHMARKS.md): fusing stage2 (dim 384) as well drops
+        # the attack rate back to ~55.8 — its (th+6)/th backward band
+        # overcompute costs more than its small 32^2 tensors save.
+        if (use_fused and self.fused_mlp_mode == "block"
+                and self.dim <= 192):
+            # whole-block Pallas kernel: dwconv+LN+MLP+gamma+residual in
+            # one pass (kernels/convnext_block.py). Evaluate the flax
+            # modules on dummies so their params exist, then call the
+            # kernel on the raw params. Deterministic mode only.
+            dummy = jnp.zeros((1, self.dim), y.dtype)
+            norm(dummy)
+            pw1(dummy)
+            pw2(jnp.zeros((1, 4 * self.dim), y.dtype))
+            from robseg_tpu.kernels.convnext_block import (
+                convnext_block_fused_shared)
+            dwv = dwconv.variables["params"]
+            np_ = norm.variables["params"]
+            p1 = pw1.variables["params"]
+            p2 = pw2.variables["params"]
+            out = convnext_block_fused_shared(
+                x, dwv["kernel"].reshape(7, 7, self.dim), dwv["bias"],
+                np_["scale"], np_["bias"], p1["kernel"], p1["bias"],
+                p2["kernel"], p2["bias"], gamma)
+            return out
+        if use_fused and self.fused_mlp_mode != "block":
+            # MLP-tail kernels (in block mode, dim-384 blocks fall through
+            # to the default XLA path below instead)
             # create the params with dummy calls (dead code after DCE),
             # then read them raw for the kernel
             dummy = jnp.zeros((1, self.dim), y.dtype)

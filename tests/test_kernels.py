@@ -234,3 +234,83 @@ class TestFusedMLPBf16:
         # bf16 truncation noise only — grads must still be close in f32
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=5e-2, rtol=5e-2)
+
+
+class TestConvNeXtBlockKernel:
+    """Whole-block Pallas kernel (kernels/convnext_block.py)."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(11)
+
+    def _params(self, rng, c):
+        return [jnp.asarray(a.astype(np.float32)) for a in (
+            rng.normal(size=(7, 7, c)) * 0.1,        # dw
+            rng.normal(size=c) * 0.1,                # dwb
+            rng.random(c) + 0.5,                     # ls
+            rng.normal(size=c) * 0.1,                # lb
+            rng.normal(size=(c, 4 * c)) * 0.05,      # w1
+            rng.normal(size=4 * c) * 0.1,            # b1
+            rng.normal(size=(4 * c, c)) * 0.05,      # w2
+            rng.normal(size=c) * 0.1,                # b2
+            rng.random(c),                           # gamma
+        )]
+
+    def test_fwd_and_input_grad_exact_with_f32_dots(self, rng, monkeypatch):
+        """With bf16 truncation disabled the kernel must match the pure-JAX
+        block to f32 noise — validates halos, masking, LN bwd, and the
+        7x7 correlation in the VJP."""
+        from robseg_tpu.kernels import convnext_block as cb
+        monkeypatch.setattr(cb, "_bf", lambda a: a)
+        c = 96
+        args = self._params(rng, c)
+        # H=24 exercises the pad-to-tile path (2 tiles of TH=16);
+        # W=20 exercises the column pre-pad
+        x = jnp.asarray(rng.normal(size=(2, 24, 20, c)).astype(np.float32))
+        want = cb.convnext_block_reference(x, *args)
+        with pltpu.force_tpu_interpret_mode():
+            got = cb.convnext_block_fused(x, *args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-6, rtol=1e-5)
+        gw = jax.grad(
+            lambda z: (cb.convnext_block_reference(z, *args) ** 2).sum())(x)
+        with pltpu.force_tpu_interpret_mode():
+            gg = jax.grad(
+                lambda z: (cb.convnext_block_fused(z, *args) ** 2).sum())(x)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   atol=1e-5, rtol=1e-4)
+
+    def test_default_bf16_dots_close(self, rng):
+        """Default kernel (bf16 MXU passes) stays within bf16 noise."""
+        from robseg_tpu.kernels import convnext_block as cb
+        c = 96
+        args = self._params(rng, c)
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, c)).astype(np.float32))
+        want = cb.convnext_block_reference(x, *args)
+        with pltpu.force_tpu_interpret_mode():
+            got = cb.convnext_block_fused(x, *args)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_backbone_block_mode_matches_default(self, rng):
+        """ConvNeXt(fused_mlp_mode='block') ~= default backbone, fwd+grad."""
+        from robseg_tpu import models
+        x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+        m0 = models.ConvNeXt("T_CVST")
+        m1 = models.ConvNeXt("T_CVST", fused_mlp=True,
+                             fused_mlp_mode="block")
+        v = jax.jit(m0.init)(jax.random.PRNGKey(0), x)
+        want = m0.apply(v, x)
+        with pltpu.force_tpu_interpret_mode():
+            got = m1.apply(v, x)
+        for a, b in zip(want, got):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=5e-2, rtol=5e-2)
+        # input grad through stage 0 (3 fused blocks + stem) — kernel-level
+        # VJP exactness is covered above; this checks the model wiring.
+        # Interpret-mode cost of all 15 blocks' backward is prohibitive.
+        gw = jax.grad(lambda z: (m0.apply(v, z)[0] ** 2).sum())(x)
+        with pltpu.force_tpu_interpret_mode():
+            gg = jax.grad(lambda z: (m1.apply(v, z)[0] ** 2).sum())(x)
+        scale = float(jnp.abs(gw).max())
+        assert float(jnp.abs(gg - gw).max()) < 0.15 * scale

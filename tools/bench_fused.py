@@ -60,7 +60,8 @@ def main():
             return base
         mode_map = {"rs": "residual", "recompute": "recompute",
                     "rs_bf16": "residual_bf16",
-                    "recompute_bf16": "recompute_bf16"}
+                    "recompute_bf16": "recompute_bf16",
+                    "block": "block"}
         return models.UperNetForSemanticSegmentation(
             backbone_variant="T_CVST", num_classes=n_cls, fused_mlp=True,
             fused_mlp_mode=mode_map[mode])
