@@ -70,8 +70,8 @@ def _assemble_rows(prev, cur, nxt, i, th: int, h_real: int):
     # row-validity as a (rows, 1, 1) broadcast — a full-shape iota/where
     # materializes multi-MB temporaries on the VMEM stack
     rows = jax.lax.broadcasted_iota(jnp.int32, (buf.shape[0], 1, 1), 0) + g0
-    valid = ((rows >= 0) & (rows < h_real)).astype(buf.dtype)
-    return buf * valid
+    valid = ((rows >= 0) & (rows < h_real)).astype(jnp.float32)
+    return buf.astype(jnp.float32) * valid  # f32 internal math (bf16 I/O ok)
 
 
 def _dwconv(xb, dw_ref, rows_out: int, w_out: int, r0: int):
@@ -85,7 +85,7 @@ def _dwconv(xb, dw_ref, rows_out: int, w_out: int, r0: int):
         for kx in range(7):
             sl = xb[r0 + ky - 3:r0 + ky - 3 + rows_out,
                     kx:kx + w_out, :]
-            term = sl * dw_ref[ky, kx][None, None, :]
+            term = sl * dw_ref[ky, kx][None, None, :].astype(jnp.float32)
             acc = term if acc is None else acc + term
     return acc
 
@@ -95,20 +95,22 @@ def _fwd_kernel(xp_prev, xp_cur, xp_next, dw_ref, dwb_ref, ls_ref, lb_ref,
                 th: int, h_real: int, w_real: int):
     i = pl.program_id(1)
     xb = _assemble_rows(xp_prev, xp_cur, xp_next, i, th, h_real)
-    y = _dwconv(xb, dw_ref, th, w_real, th) + dwb_ref[0][None, None, :]
+    f32 = lambda r: r[0].astype(jnp.float32)                    # noqa: E731
+    y = _dwconv(xb, dw_ref, th, w_real, th) + f32(dwb_ref)[None, None, :]
     c = y.shape[-1]
     t = y.reshape(th * w_real, c)
     mean = t.mean(-1, keepdims=True)
     d = t - mean
     var = (d * d).mean(-1, keepdims=True)
-    u = d * jax.lax.rsqrt(var + 1e-6) * ls_ref[0] + lb_ref[0]
+    u = d * jax.lax.rsqrt(var + 1e-6) * f32(ls_ref) + f32(lb_ref)
     h = jnp.dot(_bf(u), _bf(w1_ref[:]),
-                preferred_element_type=jnp.float32) + b1_ref[0]
+                preferred_element_type=jnp.float32) + f32(b1_ref)
     a = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
     m = jnp.dot(_bf(a), _bf(w2_ref[:]),
-                preferred_element_type=jnp.float32) + b2_ref[0]
-    branch = (g_ref[0] * m).reshape(th, w_real, c)
-    out_ref[0] = xb[th:2 * th, 3:3 + w_real, :] + branch
+                preferred_element_type=jnp.float32) + f32(b2_ref)
+    branch = (f32(g_ref) * m).reshape(th, w_real, c)
+    out_ref[0] = (xb[th:2 * th, 3:3 + w_real, :]
+                  + branch).astype(out_ref.dtype)
 
 
 def _bwd_kernel(xp_prev, xp_cur, xp_next, dy_prev, dy_cur, dy_next,
@@ -125,8 +127,9 @@ def _bwd_kernel(xp_prev, xp_cur, xp_next, dy_prev, dy_cur, dy_next,
     xb = _assemble_rows(xp_prev, xp_cur, xp_next, i, th, h_real)
     dyb = _assemble_rows(dy_prev, dy_cur, dy_next, i, th, h_real)
 
+    f32 = lambda r: r[0].astype(jnp.float32)                    # noqa: E731
     band, r0 = th + 6, th - 3
-    y = _dwconv(xb, dw_ref, band, w_real, r0) + dwb_ref[0][None, None, :]
+    y = _dwconv(xb, dw_ref, band, w_real, r0) + f32(dwb_ref)[None, None, :]
     c = y.shape[-1]
     t = y.reshape(band * w_real, c)
     mean = t.mean(-1, keepdims=True)
@@ -134,8 +137,8 @@ def _bwd_kernel(xp_prev, xp_cur, xp_next, dy_prev, dy_cur, dy_next,
     var = (d * d).mean(-1, keepdims=True)
     inv = jax.lax.rsqrt(var + 1e-6)
     xhat = d * inv
-    u = xhat * ls_ref[0] + lb_ref[0]
-    gm = (dyb[r0:r0 + band, :w_real, :] * g_ref[0][None, None, :]
+    u = xhat * f32(ls_ref) + f32(lb_ref)
+    gm = (dyb[r0:r0 + band, :w_real, :] * f32(g_ref)[None, None, :]
           ).reshape(band * w_real, c)
 
     # hid-chunked chain: per chunk k, h_k / gelu'_k / da_k / dh_k are
@@ -149,8 +152,8 @@ def _bwd_kernel(xp_prev, xp_cur, xp_next, dy_prev, dy_cur, dy_next,
     du = None
     for k in range(0, hid, chunk):
         w1k = w1_ref[:, k:k + chunk]
-        h = jnp.dot(ub, _bf(w1k),
-                    preferred_element_type=jnp.float32) + b1_ref[0, k:k + chunk]
+        h = (jnp.dot(ub, _bf(w1k), preferred_element_type=jnp.float32)
+             + b1_ref[0, k:k + chunk].astype(jnp.float32))
         da = jnp.dot(gmb, _bf(w2_ref[k:k + chunk, :].T),
                      preferred_element_type=jnp.float32)
         cdf = 0.5 * (1.0 + _erf(h * sq2))
@@ -159,7 +162,7 @@ def _bwd_kernel(xp_prev, xp_cur, xp_next, dy_prev, dy_cur, dy_next,
         dk = jnp.dot(_bf(dh), _bf(w1k.T),
                      preferred_element_type=jnp.float32)
         du = dk if du is None else du + dk
-    dxhat = du * ls_ref[0][None, :]
+    dxhat = du * f32(ls_ref)[None, :]
     s1 = dxhat.mean(-1, keepdims=True)
     s2 = (dxhat * xhat).mean(-1, keepdims=True)
     dyconv = (inv * (dxhat - s1 - xhat * s2)).reshape(band, w_real, c)
@@ -177,9 +180,9 @@ def _bwd_kernel(xp_prev, xp_cur, xp_next, dy_prev, dy_cur, dy_next,
     for ky in range(7):
         for kx in range(7):
             sl = dpad[6 - ky:6 - ky + th, 6 - kx:6 - kx + w_real, :]
-            term = sl * dw_ref[ky, kx][None, None, :]
+            term = sl * dw_ref[ky, kx][None, None, :].astype(jnp.float32)
             acc = term if acc is None else acc + term
-    dx_ref[0] = dyb[th:2 * th, :w_real, :] + acc
+    dx_ref[0] = (dyb[th:2 * th, :w_real, :] + acc).astype(dx_ref.dtype)
 
 
 def _specs_3view(nt, block):
@@ -228,7 +231,7 @@ def _block_fwd_call(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma):
                   _full((c, hid)), vb(hid), _full((hid, c)), vb(c), vb(c)],
         out_specs=pl.BlockSpec((1, th, w, c), lambda bb, i: (bb, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hp_, w, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hp_, w, c), x.dtype),
     )(xp, xp, xp, dw, *_vecs(dwb, ls, lb), w1, *_vecs(b1), w2,
       *_vecs(b2, gamma))
     return out[:, :h]
@@ -254,7 +257,7 @@ def _block_bwd_call(x, dy, dw, dwb, ls, lb, w1, b1, w2, gamma):
                   _full((c, hid)), vb(hid), _full((hid, c)), vb(c)],
         out_specs=pl.BlockSpec((1, th, w, c), lambda bb, i: (bb, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hp_, w, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hp_, w, c), x.dtype),
     )(xp, xp, xp, dyp, dyp, dyp, dw, *_vecs(dwb, ls, lb), w1,
       *_vecs(b1), w2, *_vecs(gamma))
     return dx[:, :h]

@@ -61,12 +61,15 @@ def create_segmenter(backbone: str, n_cls: int, image_size=(512, 512)
 
 def build_model(model_name: str, backbone: str, n_cls: int,
                 image_size=(512, 512), bn_axis_name: Optional[str] = None,
-                pspnet_clean: bool = True):
+                pspnet_clean: bool = True, fused: bool = False):
     """Build the Flax module for a (MODEL.NAME, BACKBONE, N_CLS) triple.
 
     ``pspnet_clean``: the reference's ``clean`` flag (deep-base 3-conv stem
     vs the robust-checkpoint 7x7 stem; ``tools/train_rob_seg.py:92-98``
     derives it from 'clean' in ADDENDUM).
+    ``fused``: route ConvNeXt blocks through the whole-block Pallas kernel
+    (attack/eval only; +~2.5% attack rate, -20% backbone fwd — see
+    BENCHMARKS.md). Same parameter tree either way.
     """
     if model_name == "SegMenter":
         return create_segmenter(backbone, n_cls, image_size)
@@ -74,7 +77,8 @@ def build_model(model_name: str, backbone: str, n_cls: int,
         variant = backbone.split("-")[1]
         return UperNetForSemanticSegmentation(
             backbone_variant=variant, num_classes=n_cls,
-            bn_axis_name=bn_axis_name)
+            bn_axis_name=bn_axis_name, fused_mlp=fused,
+            fused_mlp_mode="block")
     if model_name == "PSPNet":
         return PSPNet(classes=n_cls, deep_base=pspnet_clean,
                       bn_axis_name=bn_axis_name)

@@ -314,3 +314,24 @@ class TestConvNeXtBlockKernel:
             gg = jax.grad(lambda z: (m1.apply(v, z)[0] ** 2).sum())(x)
         scale = float(jnp.abs(gw).max())
         assert float(jnp.abs(gg - gw).max()) < 0.15 * scale
+
+    def test_bf16_io(self, rng):
+        """bf16 inputs/params (the --precision bf16 production mode) run
+        through the kernel with f32 internal math."""
+        from robseg_tpu.kernels import convnext_block as cb
+        c = 96
+        args = [a.astype(jnp.bfloat16) for a in self._params(rng, c)]
+        x32 = jnp.asarray(rng.normal(size=(1, 16, 16, c)).astype(np.float32))
+        x = x32.astype(jnp.bfloat16)
+        want = cb.convnext_block_reference(
+            *[a.astype(jnp.float32) for a in (x,) + tuple(args)])
+        with pltpu.force_tpu_interpret_mode():
+            got = cb.convnext_block_fused(x, *args)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want), atol=5e-2, rtol=5e-2)
+        with pltpu.force_tpu_interpret_mode():
+            g = jax.grad(lambda z: (cb.convnext_block_fused(z, *args)
+                                    .astype(jnp.float32) ** 2).sum())(x)
+        assert g.dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(g.astype(jnp.float32)).all())

@@ -38,6 +38,9 @@ def main():
     parser.add_argument("--n_iter", type=int, default=20)
     parser.add_argument("--modes", type=str, default="default,rs")
     parser.add_argument("--skip_backbone", action="store_true")
+    parser.add_argument("--bf16", action="store_true",
+                        help="full-bf16 params+activations (the "
+                             "--precision bf16 production mode)")
     args = parser.parse_args()
 
     import jax
@@ -54,6 +57,11 @@ def main():
         backbone_variant="T_CVST", num_classes=n_cls)
     variables = jax.jit(base.init)(jax.random.PRNGKey(0),
                                    jnp.zeros((1, hw, hw, 3), jnp.float32))
+    if args.bf16:
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            variables)
 
     def make(mode):
         if mode == "default":
@@ -92,7 +100,11 @@ def main():
     accs = {}
     for mode in modes:
         m = make(mode)
-        fn = lambda xx: m.apply(variables, xx)  # noqa: E731
+        if args.bf16:
+            fn = lambda xx: m.apply(                     # noqa: E731
+                variables, xx.astype(jnp.bfloat16)).astype(jnp.float32)
+        else:
+            fn = lambda xx: m.apply(variables, xx)       # noqa: E731
 
         def run():
             res = apgd_attack(

@@ -33,12 +33,12 @@ from robseg_tpu.utils import Logger, class_balance_weights, fix_seeds
 SEED = 225  # parity: tools/infer.py:25
 
 
-def build_eval_model(cfg, n_cls: int, crop_size):
+def build_eval_model(cfg, n_cls: int, crop_size, fused: bool = False):
     model_cfg = cfg["MODEL"]
     eval_cfg = cfg["EVAL"]
     backbone = eval_cfg.get("BACKBONE", model_cfg.get("BACKBONE"))
     module = models.build_model(model_cfg["NAME"], backbone, n_cls,
-                                image_size=crop_size)
+                                image_size=crop_size, fused=fused)
     return module
 
 
@@ -61,6 +61,10 @@ def main():
                              "(pod-scale SEA; per-image results identical)")
     parser.add_argument("--ckpt", type=str, default=None,
                         help=".npz params checkpoint (overrides EVAL.MODEL_PATH)")
+    parser.add_argument("--fused", action="store_true",
+                        help="whole-block Pallas ConvNeXt kernel "
+                             "(UperNet only; same numerics class as the "
+                             "XLA default; see BENCHMARKS.md)")
     parser.add_argument("--precision", type=str, default="default",
                         choices=["default", "bf16", "f32"],
                         help="matmul/conv precision: bf16 = fastest (MXU "
@@ -84,7 +88,7 @@ def main():
     base_size, crop_size = dataset_eval_geometry(test_cfg["NAME"])
 
     fix_seeds(SEED)
-    module = build_eval_model(cfg, n_cls, crop_size)
+    module = build_eval_model(cfg, n_cls, crop_size, fused=args.fused)
 
     dummy = jnp.zeros((1,) + tuple(crop_size) + (3,), jnp.float32)
     variables = jax.jit(module.init)(jax.random.PRNGKey(0), dummy)
