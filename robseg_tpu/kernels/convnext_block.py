@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from robseg_tpu.kernels.convnext_mlp import _erf
 
 # row-tile height per channel width (VMEM-budgeted)
-_TH = {96: 8, 192: 6, 384: 8}  # backward band needs th >= 6 (3-view span);
+_TH = {96: 16, 192: 16, 384: 16}  # backward band needs th >= 6 (3-view span);
 # 192 lanes pad to 256 so its tiles run at th=6 to fit the VMEM stack
 
 

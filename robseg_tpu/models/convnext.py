@@ -74,9 +74,10 @@ class ConvNeXtBlock(nn.Module):
         use_fused = (self.fused_mlp and self.dim <= 384
                      and not self.is_initializing())
         # whole-block kernel for the large-spatial stages (dims <= 192).
-        # Measured (BENCHMARKS.md): fusing stage2 (dim 384) as well drops
-        # the attack rate back to ~55.8 — its (th+6)/th backward band
-        # overcompute costs more than its small 32^2 tensors save.
+        # Measured (BENCHMARKS.md): fusing stage2 (dim 384) as well is a
+        # small net loss at every tile height tried (th=8: 55.8, th=16:
+        # 58.0 vs 58.3 without) — its backward-band overcompute costs
+        # more than its small 32^2 tensors save.
         if (use_fused and self.fused_mlp_mode == "block"
                 and self.dim <= 192):
             # whole-block Pallas kernel: dwconv+LN+MLP+gamma+residual in
