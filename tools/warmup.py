@@ -29,6 +29,12 @@ def main():
     parser.add_argument("--n_iter", type=int, default=300,
                         help="must match the production --n_iter: the APGD "
                              "history-buffer size is static per n_iter")
+    parser.add_argument("--fused", action="store_true",
+                        help="warm the whole-block-kernel executables "
+                             "(tools/infer --fused)")
+    parser.add_argument("--precision", type=str, default="default",
+                        choices=["default", "bf16"],
+                        help="warm the bf16 production-mode executables")
     args = parser.parse_args()
 
     from robseg_tpu import models
@@ -45,11 +51,19 @@ def main():
 
     module = models.build_model(cfg["MODEL"]["NAME"],
                                 test_cfg.get("BACKBONE"), n_cls,
-                                image_size=crop)
+                                image_size=crop, fused=args.fused)
     t0 = time.time()
     variables = jax.jit(module.init)(
         jax.random.PRNGKey(0), jnp.zeros((1,) + tuple(crop) + (3,)))
-    logits_fn = lambda x: module.apply(variables, x)  # noqa: E731
+    if args.precision == "bf16":
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            variables)
+        logits_fn = lambda x: module.apply(                  # noqa: E731
+            variables, x.astype(jnp.bfloat16)).astype(jnp.float32)
+    else:
+        logits_fn = lambda x: module.apply(variables, x)     # noqa: E731
 
     rng = np.random.default_rng(0)
     x = rng.random((bs,) + tuple(crop) + (3,)).astype(np.float32)
