@@ -125,7 +125,8 @@ def main():
         v["batch_stats"] = batch_stats
     if args.precision == "bf16":
         # full-bf16 model: params + activations (measured +15% attack
-        # throughput; robust metrics may deviate slightly from f32)
+        # throughput; robust-metric deviation vs f32 measured at ~1e-4
+        # aAcc/mIoU at eps 4,8 — tools/bench_bf16.py, BENCHMARKS.md)
         v = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
             if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, v)
