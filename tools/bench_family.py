@@ -1,11 +1,11 @@
-"""APGD attack throughput on Segmenter-ViT-S @ 512^2 / ADE-151.
+"""APGD attack throughput for the non-flagship SEA families.
 
-Companion to bench.py (UperNet flagship): measures the second SEA family's
-hot loop — ViT-S/16 encoder + MaskTransformer decoder, 1025 tokens.
-Reference hot loop: ``semseg/attacker.py:385-569`` over
-``semseg/models/segmenter.py:193-243``.
+Companion to bench.py (UperNet flagship):
+  * segmenter — Segmenter-ViT-S/16 @ 512^2 / ADE-151 (1025 tokens)
+  * pspnet    — PSPNet-ResNet50 (dilated) @ 473^2 / VOC-21
+Reference hot loop: ``semseg/attacker.py:385-569``.
 
-Usage: python -m tools.bench_segmenter [--batch 16] [--bf16]
+Usage: python -m tools.bench_family --model segmenter|pspnet [--bf16]
 """
 
 from __future__ import annotations
@@ -23,8 +23,11 @@ import numpy as np
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, default="segmenter",
+                        choices=["segmenter", "pspnet"])
     parser.add_argument("--batch", type=int, default=16)
-    parser.add_argument("--hw", type=int, default=512)
+    parser.add_argument("--hw", type=int, default=0,
+                        help="0 = family default (512 segmenter / 473 pspnet)")
     parser.add_argument("--n_iter", type=int, default=20)
     parser.add_argument("--bf16", action="store_true")
     args = parser.parse_args()
@@ -34,9 +37,18 @@ def main():
     from robseg_tpu import models
     from robseg_tpu.attacks.apgd import apgd_attack
 
-    batch, hw, n_cls = args.batch, args.hw, 151
-    module = models.create_segmenter("vit_small_patch16_384", n_cls,
-                                     image_size=(hw, hw))
+    if args.model == "segmenter":
+        hw = args.hw or 512
+        n_cls = 151
+        module = models.create_segmenter("vit_small_patch16_384", n_cls,
+                                         image_size=(hw, hw))
+        label = f"Segmenter-ViT-S/16, {hw}^2, ADE-151"
+    else:
+        hw = args.hw or 473
+        n_cls = 21
+        module = models.PSPNet(classes=n_cls, deep_base=True)
+        label = f"PSPNet-RN50, {hw}^2, VOC-21"
+    batch = args.batch
     variables = jax.jit(module.init)(jax.random.PRNGKey(0),
                                      jnp.zeros((1, hw, hw, 3), jnp.float32))
     if args.bf16:
@@ -74,10 +86,10 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     rate = args.n_iter * batch / dt
     print(json.dumps({
-        "metric": "segmenter_apgd_step_imgs_per_sec_per_chip",
+        "metric": f"{args.model}_apgd_step_imgs_per_sec_per_chip",
         "value": round(rate, 2),
-        "unit": f"APGD step*imgs/s/chip (Segmenter-ViT-S/16, {hw}^2, "
-                f"ADE-151, Linf, mask-ce{', bf16' if args.bf16 else ''})",
+        "unit": f"APGD step*imgs/s/chip ({label}, Linf, mask-ce"
+                f"{', bf16' if args.bf16 else ''})",
     }))
 
 

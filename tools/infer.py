@@ -81,6 +81,12 @@ def main():
         jax.config.update("jax_default_matmul_precision", "bfloat16")
     elif args.precision == "f32":
         jax.config.update("jax_default_matmul_precision", "float32")
+    if args.fused and args.shard:
+        # Pallas custom-calls have no SPMD partitioning rules, so the
+        # jit-auto-partitioned --shard path cannot split them over the
+        # mesh (XLA RET_CHECKs). Per-chip fused attacks still work.
+        parser.error("--fused is single-chip only; drop it for --shard "
+                     "(pod-scale) runs")
 
     cfg = load_config(args.cfg)
     dataset_cfg, test_cfg = cfg["DATASET"], cfg["EVAL"]
