@@ -127,17 +127,26 @@ def make_loss_fn(module, model_name: str) -> Callable:
 
 def make_train_step(module, model_name: str,
                     tx: optax.GradientTransformation, mesh: Mesh,
-                    attack: AttackConfig, axis_name: str = "data"):
+                    attack: AttackConfig, axis_name: str = "data",
+                    attack_module=None):
     """Build the sharded, jitted (state, images, labels) -> (state, metrics)
-    train step. Images/labels enter sharded over ``axis_name``."""
+    train step. Images/labels enter sharded over ``axis_name``.
+
+    ``attack_module``: optional twin module (same parameter tree) used ONLY
+    for adversarial-example generation — e.g. the whole-block-fused
+    UperNet (input-grad-only VJP is exactly what the attack phase needs;
+    the weight update still differentiates through ``module``). Inside
+    shard_map each device runs its Pallas kernels locally, so this
+    composes with data parallelism (unlike jit auto-partitioning)."""
 
     loss_fn = make_loss_fn(module, model_name)
+    atk_module = attack_module if attack_module is not None else module
 
     def eval_logits_fn(params, batch_stats):
         v = {"params": params}
         if batch_stats:
             v["batch_stats"] = batch_stats
-        return lambda x: module.apply(v, x)
+        return lambda x: atk_module.apply(v, x)
 
     def per_device_step(state: TrainState, images, labels):
         rng = state.rng

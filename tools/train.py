@@ -82,6 +82,12 @@ def main():
                         choices=["default", "bf16", "f32"],
                         help="matmul/conv precision (the reference's AMP "
                              "flag analogue: bf16 = mixed precision)")
+    parser.add_argument("--fused_attack", action="store_true",
+                        help="generate the PIR-AT adversarial examples "
+                             "through the whole-block Pallas kernel "
+                             "(UperNet only; the attack phase needs only "
+                             "input grads — the weight update keeps the "
+                             "default differentiable path)")
     args = parser.parse_args()
 
     if args.precision == "bf16":
@@ -209,7 +215,15 @@ def main():
     attack = AttackConfig(
         enabled=t.adversarial, name=t.attack, loss_fn=t.loss_fn,
         eps=t.eps / 255.0, n_iters=t.n_iters)
-    train_step = make_train_step(module, model_name, tx, mesh, attack)
+    attack_module = None
+    if args.fused_attack:
+        if model_name != "UperNetForSemanticSegmentation":
+            raise SystemExit("--fused_attack supports UperNet only")
+        attack_module = models.build_model(
+            model_name, model_cfg.get("BACKBONE", ""), n_cls,
+            image_size=t.image_size, fused=True)
+    train_step = make_train_step(module, model_name, tx, mesh, attack,
+                                 attack_module=attack_module)
     eval_step = make_eval_step(module, n_cls, mesh)
 
     state = replicate(mesh, state)
