@@ -138,3 +138,23 @@ class TestDeepLabDDCAT:
         final, aux, mask, normal = m.apply(variables, x, indicate=1)
         assert final.shape == (1, 33, 33, 4)
         assert mask.shape == (1, 33, 33, 2)
+
+
+class TestFusedBuild:
+    def test_build_model_fused_flag_same_param_tree(self):
+        """--fused builds a kernel-routed UperNet with the IDENTICAL
+        parameter tree (checkpoints are interchangeable)."""
+        import jax
+        import jax.numpy as jnp
+        from robseg_tpu import models
+        m0 = models.build_model("UperNetForSemanticSegmentation",
+                                "ConvNeXt-T_CVST", 5)
+        m1 = models.build_model("UperNetForSemanticSegmentation",
+                                "ConvNeXt-T_CVST", 5, fused=True)
+        assert m1.fused_mlp and m1.fused_mlp_mode == "block"
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        v0 = jax.jit(m0.init)(jax.random.PRNGKey(0), x)
+        v1 = jax.jit(m1.init)(jax.random.PRNGKey(0), x)
+        t0 = jax.tree.structure(v0)
+        t1 = jax.tree.structure(v1)
+        assert t0 == t1
