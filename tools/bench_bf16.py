@@ -1,12 +1,13 @@
-"""Quantify the full-bf16 attack mode's metric deviation vs f32.
+"""Quantify the bf16 / fused attack modes' metric deviation vs f32.
 
 Runs the SEA per-loss attack (apgd_largereps, mask-ce-avg) on one fixed
-batch at eps in {4, 8}/255 twice — default precision (f32 activations,
-bf16 MXU) and full bf16 (params + activations, the ``tools.infer
---precision bf16`` mode) — and reports robust pixel-acc and mIoU deltas.
-Metrics are always computed in f32 from the final adversarial logits.
+batch at eps in {4, 8}/255 with the default path and the selected
+alternates — full bf16 (params + activations, ``tools.infer --precision
+bf16``) and/or the whole-block fused kernel (``--fused``) — and reports
+robust pixel-acc and mIoU deltas. Metrics are always computed by the
+default-f32 model on the resulting adversarial examples.
 
-Results documented in BENCHMARKS.md ("Full-bf16 eval mode").
+Results documented in BENCHMARKS.md.
 """
 
 from __future__ import annotations
@@ -22,6 +23,11 @@ import numpy as np
 
 
 def main():
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--modes", type=str, default="f32,bf16",
+                        help="comma list from f32,bf16,fused,fused_bf16")
+    args = parser.parse_args()
     import jax
     import jax.numpy as jnp
     from robseg_tpu import models
@@ -36,6 +42,9 @@ def main():
 
     module = models.UperNetForSemanticSegmentation(
         backbone_variant="T_CVST", num_classes=n_cls)
+    fused_mod = models.UperNetForSemanticSegmentation(
+        backbone_variant="T_CVST", num_classes=n_cls,
+        fused_mlp=True, fused_mlp_mode="block")
     variables = jax.jit(module.init)(jax.random.PRNGKey(0),
                                      jnp.zeros((1, hw, hw, 3), jnp.float32))
     v16 = jax.tree.map(
@@ -48,6 +57,16 @@ def main():
     def fn_bf16(xx):
         return module.apply(v16, xx.astype(jnp.bfloat16)).astype(jnp.float32)
 
+    def fn_fused(xx):
+        return fused_mod.apply(variables, xx)
+
+    def fn_fused_bf16(xx):
+        return fused_mod.apply(v16, xx.astype(jnp.bfloat16)
+                               ).astype(jnp.float32)
+
+    all_fns = {"f32": fn_f32, "bf16": fn_bf16, "fused": fn_fused,
+               "fused_bf16": fn_fused_bf16}
+
     def metrics(fn, x_adv):
         pred = jnp.argmax(fn(x_adv), -1).astype(jnp.int32)
         h = confusion_matrix(pred, y, num_classes=n_cls, ignore_label=-1)
@@ -56,8 +75,11 @@ def main():
         return float(aacc), float(miou)
 
     out = {}
+    sel = args.modes.split(",")
+    assert sel[0] == "f32", "f32 must come first (the deltas' baseline)"
     for eps in (4.0, 8.0):
-        for name, fn in (("f32", fn_f32), ("bf16", fn_bf16)):
+        for name in sel:
+            fn = all_fns[name]
             t0 = time.perf_counter()
             adv, _, acc = apgd_largereps(
                 fn, x, y, weights=None, norm="Linf", eps=eps / 255,
@@ -72,12 +94,13 @@ def main():
                 float(np.asarray(acc).mean()), 5)
             print(f"eps={eps} {name}: aAcc={aacc:.5f} mIoU={miou:.5f} "
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
-        out[f"eps{int(eps)}_delta_aAcc"] = round(
-            out[f"eps{int(eps)}_bf16_rob_aAcc"]
-            - out[f"eps{int(eps)}_f32_rob_aAcc"], 5)
-        out[f"eps{int(eps)}_delta_mIoU"] = round(
-            out[f"eps{int(eps)}_bf16_rob_mIoU"]
-            - out[f"eps{int(eps)}_f32_rob_mIoU"], 5)
+        for name in sel[1:]:
+            out[f"eps{int(eps)}_{name}_delta_aAcc"] = round(
+                out[f"eps{int(eps)}_{name}_rob_aAcc"]
+                - out[f"eps{int(eps)}_f32_rob_aAcc"], 5)
+            out[f"eps{int(eps)}_{name}_delta_mIoU"] = round(
+                out[f"eps{int(eps)}_{name}_rob_mIoU"]
+                - out[f"eps{int(eps)}_f32_rob_mIoU"], 5)
     print(json.dumps(out))
 
 
