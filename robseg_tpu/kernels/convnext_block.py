@@ -50,9 +50,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from robseg_tpu.kernels.convnext_mlp import _erf
 
-# row-tile height per channel width (VMEM-budgeted)
-_TH = {96: 16, 192: 16, 384: 16}  # backward band needs th >= 6 (3-view span);
-# 192 lanes pad to 256 so its tiles run at th=6 to fit the VMEM stack
+# preferred row-tile height (VMEM-budgeted; backward band needs th >= 6
+# because the 3-view span must cover the double halo)
+_TH_PREF = 16
+
+
+def _pick_th(h: int) -> int:
+    """Tile height for an H-row feature map: the divisor of h in [6, 32]
+    closest to the preferred 16 (zero pad waste — e.g. VOC geometry's
+    119 rows -> th=17, 60 rows -> th=15), else 16 with masked padding."""
+    best = None
+    for th in range(6, 33):
+        if h % th == 0:
+            if best is None or abs(th - _TH_PREF) < abs(best - _TH_PREF):
+                best = th
+    return best if best is not None else _TH_PREF
 
 
 def _bf(a):
@@ -203,7 +215,7 @@ def _full(shape):
 
 
 def _prep(x, th):
-    """Pad H to a TH multiple and W by the 3-column conv halo."""
+    """Pad H to a th multiple and W by the 3-column conv halo."""
     b, h, w, c = x.shape
     hp = (h + th - 1) // th * th
     return jnp.pad(x, ((0, 0), (0, hp - h), (3, 3), (0, 0))), hp
@@ -215,7 +227,7 @@ def _vecs(*vs):
 
 def _block_fwd_call(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma):
     b, h, w, c = x.shape
-    th = _TH.get(c, 8)
+    th = _pick_th(h)
     xp, hp_ = _prep(x, th)
     nt = hp_ // th
     hid = w1.shape[1]
@@ -239,7 +251,7 @@ def _block_fwd_call(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma):
 
 def _block_bwd_call(x, dy, dw, dwb, ls, lb, w1, b1, w2, gamma):
     b, h, w, c = x.shape
-    th = _TH.get(c, 8)
+    th = _pick_th(h)
     xp, hp_ = _prep(x, th)
     nt = hp_ // th
     hid = w1.shape[1]
