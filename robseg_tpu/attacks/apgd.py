@@ -81,6 +81,71 @@ def _bimg(v: Array, ndims: int) -> Array:
     return v.reshape(v.shape + (1,) * ndims)
 
 
+def _apgd_ctrl(norm: str, n_iter: int):
+    """Step-size-controller constants as runtime scalars (the reference's
+    exact int()-of-float arithmetic, ``attacker.py:323-337``)."""
+    if norm in ("Linf", "L2"):
+        ctrl = dict(
+            n_iter=n_iter,
+            n_iter_2=max(int(0.22 * n_iter), 1),
+            n_iter_min=max(int(0.06 * n_iter), 1),
+            size_decr=max(int(0.03 * n_iter), 1),
+        )
+        ctrl["k0"] = ctrl["n_iter_2"]
+    elif norm == "L1":
+        ctrl = dict(n_iter=n_iter, n_iter_2=1, n_iter_min=1, size_decr=1,
+                    k0=max(int(0.04 * n_iter), 1))
+    else:
+        raise ValueError(norm)
+    return {k: jnp.asarray(v, jnp.int32) for k, v in ctrl.items()}
+
+
+def make_sharded_apgd(logits_fn: Callable, mesh, *, norm: str = "Linf",
+                      loss: str, track_loss: Optional[str] = None,
+                      early_stop: bool = False, ignore_index: int = -1,
+                      n_iter_buf: int, weights: Optional[Array] = None,
+                      axis_name: str = "data") -> Callable:
+    """One jitted ``shard_map`` APGD-core executable over the batch axis.
+
+    Per-device the program is the SAME ``_apgd_core`` graph the single-chip
+    path compiles (phase length / eps / warm-start remain runtime scalars,
+    so one executable serves all ``apgd_largereps`` phases), plus a
+    ``psum``-reduced early stop. Pallas kernels inside ``logits_fn``
+    execute per device — the composition jit auto-partitioning cannot do.
+
+    Returns ``phase(x, y, x_init, use_init, eps, n_iter) -> APGDResult``
+    with x/y/x_init batch-sharded. Random start is NOT drawn here (no rng
+    per shard — hoist it, see ``sea._make_attack_fn``).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    dummy_rng = jax.random.PRNGKey(0)  # use_rs=False: never consumed
+
+    def per_dev(x, y, x_init, use_init, eps, ctrl):
+        return _apgd_core(
+            logits_fn, x, y, x_init, use_init, eps, ctrl, weights,
+            dummy_rng, None, norm=norm, use_rs=False, loss=loss,
+            track_loss=track_loss, early_stop=early_stop, is_train=False,
+            ignore_index=ignore_index, n_iter_buf=int(n_iter_buf),
+            axis_name=axis_name if early_stop else None)
+
+    b = P(axis_name)
+    sharded = jax.jit(shard_map(
+        per_dev, mesh=mesh,
+        in_specs=(b, b, b, P(), P(), P()),
+        out_specs=APGDResult(b, b, b, b), check_vma=False))
+
+    def phase(x, y, x_init, use_init: bool, eps: float, n_iter: int
+              ) -> APGDResult:
+        assert n_iter <= n_iter_buf
+        return sharded(x, y, x_init, jnp.asarray(use_init),
+                       jnp.asarray(eps, jnp.float32),
+                       _apgd_ctrl(norm, n_iter))
+
+    return phase
+
+
 def apgd_attack(logits_fn: Callable, x: Array, y: Array, *,
                 norm: str = "Linf", eps: float, n_iter: int = 10,
                 use_rs: bool = False, loss: str = "ce",
@@ -89,7 +154,8 @@ def apgd_attack(logits_fn: Callable, x: Array, y: Array, *,
                 weights: Optional[Array] = None, rng: Optional[Array] = None,
                 x_init: Optional[Array] = None,
                 y_target: Optional[Array] = None,
-                n_iter_buf: Optional[int] = None) -> APGDResult:
+                n_iter_buf: Optional[int] = None,
+                axis_name: Optional[str] = None) -> APGDResult:
     """One APGD run; parity ``apgd_train`` (``semseg/attacker.py:260-571``).
 
     ``n_iter`` is a *runtime* value: the step-size controller constants are
@@ -103,21 +169,7 @@ def apgd_attack(logits_fn: Callable, x: Array, y: Array, *,
     if n_iter_buf is None:
         n_iter_buf = n_iter
     assert n_iter <= n_iter_buf
-    if norm in ("Linf", "L2"):
-        # exact reference arithmetic: int() of float products
-        ctrl = dict(
-            n_iter=n_iter,
-            n_iter_2=max(int(0.22 * n_iter), 1),
-            n_iter_min=max(int(0.06 * n_iter), 1),
-            size_decr=max(int(0.03 * n_iter), 1),
-        )
-        ctrl["k0"] = ctrl["n_iter_2"]
-    elif norm == "L1":
-        ctrl = dict(n_iter=n_iter, n_iter_2=1, n_iter_min=1, size_decr=1,
-                    k0=max(int(0.04 * n_iter), 1))
-    else:
-        raise ValueError(norm)
-    ctrl_arr = {k: jnp.asarray(v, jnp.int32) for k, v in ctrl.items()}
+    ctrl_arr = _apgd_ctrl(norm, n_iter)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -130,18 +182,21 @@ def apgd_attack(logits_fn: Callable, x: Array, y: Array, *,
         weights if weights is not None else None, rng, y_target,
         norm=norm, use_rs=use_rs, loss=loss,
         track_loss=track_loss, early_stop=early_stop, is_train=is_train,
-        ignore_index=ignore_index, n_iter_buf=int(n_iter_buf))
+        ignore_index=ignore_index, n_iter_buf=int(n_iter_buf),
+        axis_name=axis_name)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("logits_fn", "norm", "use_rs", "loss", "track_loss",
-                     "early_stop", "is_train", "ignore_index", "n_iter_buf"))
+                     "early_stop", "is_train", "ignore_index", "n_iter_buf",
+                     "axis_name"))
 def _apgd_core(logits_fn: Callable, x: Array, y: Array, x_init: Array,
                use_init: Array, eps: Array, ctrl, weights, rng, y_target, *,
                norm: str, use_rs: bool, loss: str,
                track_loss: Optional[str], early_stop: bool, is_train: bool,
-               ignore_index: int, n_iter_buf: int) -> APGDResult:
+               ignore_index: int, n_iter_buf: int,
+               axis_name: Optional[str] = None) -> APGDResult:
     bs = x.shape[0]
     ndims = x.ndim - 1
     n_fts = int(x.size // bs)
@@ -325,7 +380,14 @@ def _apgd_core(logits_fn: Callable, x: Array, y: Array, x_init: Array,
     def cond(s: _State):
         running = s.i < n_iter
         if early_stop:
-            running = running & (s.acc.sum() > 0)
+            acc_sum = s.acc.sum()
+            if axis_name is not None:
+                # inside shard_map the batch is split over the mesh; the
+                # reference's early stop is batch-global (attacker.py:
+                # 568-569), so reduce across shards to keep per-image
+                # results identical to the single-chip run
+                acc_sum = jax.lax.psum(acc_sum, axis_name)
+            running = running & (acc_sum > 0)
         return running
 
     final = jax.lax.while_loop(cond, step, state)
@@ -345,10 +407,19 @@ def apgd_largereps(logits_fn: Callable, x: Array, y: Array, *,
                    eps: float = 8.0 / 255.0, n_iter: int = 10,
                    loss: str = "ce", early_stop: bool = False,
                    track_loss: Optional[str] = None, use_rs: bool = False,
-                   ignore_index: int = -1, rng: Optional[Array] = None):
+                   ignore_index: int = -1, rng: Optional[Array] = None,
+                   x_init: Optional[Array] = None,
+                   axis_name: Optional[str] = None):
     """SEA per-loss attack: 3 warm-started phases at eps * (2, 1.5, 1).
 
     Parity: ``semseg/attacker.py:662-728``. Returns (x_adv, None, acc).
+
+    ``x_init``: phase-0 starting point (e.g. a random start drawn OUTSIDE a
+    ``shard_map`` with the single-chip key chain — ``sea._sharded_attack``);
+    since phase 0 projects the init back to its own ball∩box, passing an
+    in-ball point here is exactly equivalent to drawing it inside.
+    ``axis_name``: mesh axis for the batch-global early stop when running
+    per-shard under ``shard_map``.
     """
     n_iters = [int(0.3 * n_iter), int(0.3 * n_iter)]
     n_iters.append(n_iter - sum(n_iters))
@@ -359,7 +430,6 @@ def apgd_largereps(logits_fn: Callable, x: Array, y: Array, *,
     # one executable serves all three phases: phase length / eps / warm-start
     # flag are runtime scalars (see apgd_attack)
     n_buf = max(n_iters)
-    x_init = None
     acc = jnp.ones((x.shape[0],), jnp.float32)
     for phase, (it, ep) in enumerate(zip(n_iters, epss)):
         if x_init is not None:
@@ -369,7 +439,7 @@ def apgd_largereps(logits_fn: Callable, x: Array, y: Array, *,
             logits_fn, x, y, norm=norm, eps=ep, n_iter=it, use_rs=use_rs,
             loss=loss, track_loss=track_loss, early_stop=early_stop,
             ignore_index=ignore_index, weights=weights, rng=sub,
-            x_init=x_init, n_iter_buf=n_buf)
+            x_init=x_init, n_iter_buf=n_buf, axis_name=axis_name)
         acc = res.acc
         x_init = res.x_best_adv
     return x_init, None, acc

@@ -14,7 +14,7 @@ Faithfully reproduced quirk: the reference tracks the best per-image loss
 from __future__ import annotations
 
 import functools
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -116,9 +116,13 @@ def pgd_attack(logits_fn: Callable, x: Array, y: Array, *,
 @functools.partial(jax.jit, static_argnames=("logits_fn", "num_iter", "loss"))
 def pgd_attack_rs(logits_fn: Callable, x: Array, y: Array, rng: Array, *,
                   eps: float = 4.0 / 255.0, alpha: float = 1e-2,
-                  num_iter: int = 2, loss: str = "pgd") -> Array:
+                  num_iter: int = 2, loss: str = "pgd",
+                  delta_init: Optional[Array] = None) -> Array:
     """``Pgd_Attack_1.adv_attack`` (``val.py:189-218``): uniform random
-    start, returns the final (not best) point."""
+    start, returns the final (not best) point.
+
+    ``delta_init`` overrides the random start (RNG-free differential
+    testing against the reference loop)."""
     loss_fn = TRAIN_ATTACK_LOSSES[loss]
 
     def step(delta, _):
@@ -132,6 +136,9 @@ def pgd_attack_rs(logits_fn: Callable, x: Array, y: Array, rng: Array, *,
         delta = jnp.clip(delta, -eps, eps)
         return delta, None
 
-    delta0 = jax.random.uniform(rng, x.shape, x.dtype, -eps, eps)
+    if delta_init is not None:
+        delta0 = delta_init
+    else:
+        delta0 = jax.random.uniform(rng, x.shape, x.dtype, -eps, eps)
     delta, _ = jax.lax.scan(step, delta0, None, length=num_iter)
     return jnp.clip(x + delta, 0.0, 1.0)

@@ -93,6 +93,71 @@ def _static_batch_size(first_batch_size: int, mesh) -> int:
     return -(-first_batch_size // n_dev) * n_dev
 
 
+def _make_attack_fn(logits_fn: Callable, mesh, *, eps: float, n_iter: int,
+                    loss: str, norm: str = "Linf", early_stop: bool = True,
+                    track_loss: str = "ce-avg", use_rs: bool = True,
+                    weights=None, axis_name: str = "data") -> Callable:
+    """(x, y, rng) -> x_adv for one SEA per-loss attack, single-chip or
+    sharded.
+
+    ``mesh`` not None: the attack runs per device under ``shard_map`` over
+    the batch axis — Pallas kernels (``--fused``) execute locally per shard
+    instead of hitting the jit auto-partitioner (which has no SPMD rules
+    for custom calls), exactly like the trainer composes them
+    (``train/trainer.py:make_train_step``). Per-image results are identical
+    to the single-chip run: APGD is per-image independent, the random start
+    is drawn OUTSIDE the shard_map with the single-chip key chain, and the
+    batch-global early stop is restored with a ``psum`` over the mesh axis.
+    """
+    if mesh is None:
+        def attack(x, y, rng):
+            adv, _, _ = apgd_largereps(
+                logits_fn, x, y, weights=weights, norm=norm, eps=eps,
+                n_iter=n_iter, loss=loss, early_stop=early_stop,
+                track_loss=track_loss, use_rs=use_rs, rng=rng)
+            return adv
+        return attack
+
+    # Sharded: mirror apgd_largereps phase by phase — ONE jitted
+    # shard_map'd APGD-core executable serves all three phases (runtime
+    # scalars, exactly like the single-chip path), the inter-phase
+    # projection runs eagerly like the single-chip path, and the phase-0
+    # random start is drawn here with the single-chip key chain. With
+    # matching per-device batch shapes the per-device program is the same
+    # graph the single-chip path compiles.
+    from robseg_tpu.attacks.apgd import make_sharded_apgd, _project_back
+    n_iters = [int(0.3 * n_iter), int(0.3 * n_iter)]
+    n_iters.append(n_iter - sum(n_iters))
+    epss = [2.0 * eps, 1.5 * eps, 1.0 * eps]
+    phase_fn = make_sharded_apgd(
+        logits_fn, mesh, norm=norm, loss=loss, track_loss=track_loss,
+        early_stop=early_stop, weights=weights, n_iter_buf=max(n_iters),
+        axis_name=axis_name)
+
+    def attack(x, y, rng):
+        rng, sub = jax.random.split(rng)  # largereps' internal split
+        if use_rs:
+            # phase-0 random start at eps*2, bit-identical key chain to
+            # _apgd_core's in-jit draw (elementwise, shards trivially)
+            t = 2.0 * jax.random.uniform(sub, x.shape, x.dtype) - 1.0
+            x0 = jnp.clip(x + jnp.float32(epss[0]) * t, 0.0, 1.0)
+            use_init = True
+        else:
+            x0 = x
+            use_init = False
+        x_cur = x0
+        first = True
+        for it, ep in zip(n_iters, epss):
+            if not first:
+                x_cur = _project_back(x_cur, x, norm, ep)
+            res = phase_fn(x, y, x_cur, use_init or not first, ep, it)
+            x_cur = res.x_best_adv
+            first = False
+        return x_cur
+
+    return attack
+
+
 @functools.partial(jax.jit, static_argnames=("logits_fn", "num_classes",
                                              "ignore_label"))
 def _eval_step(logits_fn, x, y, h, *, num_classes, ignore_label):
@@ -153,6 +218,10 @@ def run_attack_over_loader(logits_fn: Callable, batches: Iterable, *,
     """
     w = jnp.asarray(weights) if weights is not None else None
     rng = jax.random.PRNGKey(seed)
+    attack_fn = _make_attack_fn(
+        logits_fn, mesh, eps=eps, n_iter=n_iter, loss=loss, norm=norm,
+        early_stop=early_stop, track_loss=track_loss, use_rs=use_rs,
+        weights=w)
     out = []
     batch_size = None
     for i, (x, y) in enumerate(batches):
@@ -160,18 +229,13 @@ def run_attack_over_loader(logits_fn: Callable, batches: Iterable, *,
         if batch_size is None:
             batch_size = _static_batch_size(x.shape[0], mesh)
         x_p, y_p, n_real = _pad_batch(x, y, batch_size)
+        x_p, y_p = jnp.asarray(x_p), jnp.asarray(y_p)
         if mesh is not None:
-            # pod-scale SEA: shard the batch over the data mesh; APGD is
-            # per-image independent, results identical (tested)
+            # pod-scale SEA: place the batch sharded over the data mesh
             from robseg_tpu.parallel import shard_batch
-            x_p, y_p = shard_batch(mesh, (jnp.asarray(x_p),
-                                          jnp.asarray(y_p)))
+            x_p, y_p = shard_batch(mesh, (x_p, y_p))
         rng, sub = jax.random.split(rng)
-        x_adv, _, _ = apgd_largereps(
-            logits_fn, jnp.asarray(x_p), jnp.asarray(y_p), weights=w,
-            norm=norm, eps=eps, n_iter=n_iter, loss=loss,
-            early_stop=early_stop, track_loss=track_loss, use_rs=use_rs,
-            rng=sub)
+        x_adv = attack_fn(x_p, y_p, sub)
         x_adv = np.asarray(x_adv)[:n_real]
         if verbose:
             print(f"batch {i}: {check_imgs(x_adv, x, norm)}")
@@ -250,6 +314,9 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
         # loader, ``infer.py:136-155``).
         t0 = time.time()
         rng = jax.random.PRNGKey(seed + li)
+        attack_fn = _make_attack_fn(
+            logits_fn, mesh, eps=eps, n_iter=n_iter, loss=loss,
+            weights=w)
         hist = jnp.zeros((num_classes, num_classes), jnp.float32)
         preds_l: List[np.ndarray] = []
         tgts_l: List[np.ndarray] = []
@@ -267,10 +334,7 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
                 from robseg_tpu.parallel import shard_batch
                 x_p, y_p = shard_batch(mesh, (x_p, y_p))
             rng, sub = jax.random.split(rng)
-            x_adv, _, _ = apgd_largereps(
-                logits_fn, x_p, y_p, weights=w, norm="Linf", eps=eps,
-                n_iter=n_iter, loss=loss, early_stop=True,
-                track_loss="ce-avg", use_rs=True, rng=sub)
+            x_adv = attack_fn(x_p, y_p, sub)
             if verbose:
                 adv_np = np.asarray(x_adv)[:n_real]
                 print(f"batch {bi}: {check_imgs(adv_np, x, 'Linf')}")

@@ -288,15 +288,17 @@ def convnext_block_fused(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma):
 
 def _cbf_fwd(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma):
     out = _block_fwd_call(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma)
-    return out, (x, dw, dwb, ls, lb, w1, b1, w2, gamma)
+    return out, (x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma)
 
 
 def _cbf_bwd(res, dy):
-    x, dw, dwb, ls, lb, w1, b1, w2, gamma = res
+    x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma = res
     dx = _block_bwd_call(x, dy, dw, dwb, ls, lb, w1, b1, w2, gamma)
     z = lambda v: jnp.zeros_like(v)                             # noqa: E731
+    # b2's cotangent uses b2's own shape/dtype (inputs and params may
+    # legitimately differ in dtype, e.g. f32 images through bf16 params)
     return (dx, z(dw), z(dwb), z(ls), z(lb), z(w1), z(b1), z(w2),
-            jnp.zeros(w2.shape[1], x.dtype), z(gamma))
+            z(b2), z(gamma))
 
 
 convnext_block_fused.defvjp(_cbf_fwd, _cbf_bwd)

@@ -45,6 +45,18 @@ SEGMENTER_VARIANTS = {
                                   patch_size=32),
     "vit_base_patch16_SAM": dict(d_model=768, n_heads=12, n_layers=12),
     "vit_large_patch16_384": dict(d_model=1024, n_heads=16, n_layers=24),
+    # DeiT distilled variants (``configs/segmenter.yml:1-33``): identical
+    # geometry to the vit_* peers plus a distillation token; the reference's
+    # ``load_config_segmenter`` overrides image_size to the dataset crop for
+    # every zoo entry, so the 224 pretrain size never reaches the model.
+    "deit_tiny_distilled_patch16_224": dict(d_model=192, n_heads=3,
+                                            n_layers=12, distilled=True),
+    "deit_small_distilled_patch16_224": dict(d_model=384, n_heads=6,
+                                             n_layers=12, distilled=True),
+    "deit_base_distilled_patch16_224": dict(d_model=768, n_heads=12,
+                                            n_layers=12, distilled=True),
+    "deit_base_distilled_patch16_384": dict(d_model=768, n_heads=12,
+                                            n_layers=12, distilled=True),
 }
 
 
@@ -71,6 +83,12 @@ def build_model(model_name: str, backbone: str, n_cls: int,
     (attack/eval only; +~2.5% attack rate, -20% backbone fwd — see
     BENCHMARKS.md). Same parameter tree either way.
     """
+    if fused and model_name != "UperNetForSemanticSegmentation":
+        # only the ConvNeXt backbone has a fused-block kernel; silently
+        # ignoring the flag would let --fused report unfused numbers
+        raise ValueError(
+            f"fused=True is only supported for UperNet (ConvNeXt backbone); "
+            f"got MODEL.NAME={model_name!r}")
     if model_name == "SegMenter":
         return create_segmenter(backbone, n_cls, image_size)
     if model_name == "UperNetForSemanticSegmentation":

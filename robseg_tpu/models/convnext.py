@@ -70,8 +70,11 @@ class ConvNeXtBlock(nn.Module):
             nn.initializers.constant(self.layer_scale_init_value),
             (self.dim,))
         # dim 768's weights alone need ~19 MB double-buffered VMEM, and its
-        # 16x16 spatial grid gains nothing from fusion — fuse dims <= 384
-        use_fused = (self.fused_mlp and self.dim <= 384
+        # 16x16 spatial grid gains nothing from fusion — fuse dims <= 384.
+        # The kernels are deterministic-mode only (their VJP ignores
+        # DropPath), so a train-mode apply falls through to the XLA path
+        # rather than silently dropping stochastic depth.
+        use_fused = (self.fused_mlp and self.dim <= 384 and deterministic
                      and not self.is_initializing())
         # whole-block kernel for the large-spatial stages (dims <= 192).
         # Measured (BENCHMARKS.md): fusing stage2 (dim 384) as well is a

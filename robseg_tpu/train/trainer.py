@@ -141,6 +141,12 @@ def make_train_step(module, model_name: str,
 
     loss_fn = make_loss_fn(module, model_name)
     atk_module = attack_module if attack_module is not None else module
+    if attack.enabled and attack.name not in ("pgd", "apgd"):
+        # the reference's non-pgd branch is broken (train_rob_seg.py:303-315
+        # passes a nonexistent ``gpuu=`` kwarg -> TypeError); we support the
+        # intended APGD training attack and reject anything else loudly
+        raise ValueError(f"TRAIN.ATTACK must be 'pgd' or 'apgd', "
+                         f"got {attack.name!r}")
 
     def eval_logits_fn(params, batch_stats):
         v = {"params": params}
@@ -159,9 +165,21 @@ def make_train_step(module, model_name: str,
             # model.eval() during attack generation (train_rob_seg.py:333-335)
             lf = eval_logits_fn(jax.lax.stop_gradient(state.params),
                                 jax.lax.stop_gradient(state.batch_stats))
-            x = _pgd_inline(lf, images, labels, eps=attack.eps,
-                            alpha=attack.alpha, num_iter=attack.n_iters,
-                            loss=attack.loss_fn)
+            if attack.name == "apgd":
+                # the upstream *intent* its gpuu= TypeError broke
+                # (train_rob_seg.py:303-315): Linf APGD with random start,
+                # ce-avg loss; the trainer consumes x_best (``[0]``,
+                # train_rob_seg.py:334)
+                from robseg_tpu.attacks.apgd import apgd_attack
+                x = apgd_attack(lf, images, labels, norm="Linf",
+                                eps=attack.eps, n_iter=attack.n_iters,
+                                use_rs=True, loss="ce-avg",
+                                rng=rng_attack).x_best
+            else:
+                x = _pgd_inline(lf, images, labels, eps=attack.eps,
+                                alpha=attack.alpha,
+                                num_iter=attack.n_iters,
+                                loss=attack.loss_fn)
             x = jax.lax.stop_gradient(x)
 
         rngs = {"dropout": rng_drop, "droppath": rng_dp}

@@ -32,3 +32,24 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---- session watchdog (VERDICT round-2 Weak #7) -------------------------
+# One observed (unreproduced) wedge: a Pallas interpret-mode test sat in a
+# futex wait for 40+ min with all threads idle, silently eating the run.
+# Re-arm a faulthandler watchdog per test: if any single test exceeds the
+# limit, dump EVERY thread's stack to stderr and hard-exit — a loud,
+# diagnosable abort instead of a silent infinite hang. The limit is far
+# above the slowest legitimate test (~5 min when the TPU tunnel hogs the
+# core); only a true wedge trips it.
+import faulthandler  # noqa: E402
+
+_PER_TEST_TIMEOUT_S = 1500
+
+
+def pytest_runtest_setup(item):
+    faulthandler.dump_traceback_later(_PER_TEST_TIMEOUT_S, exit=True)
+
+
+def pytest_runtest_teardown(item):
+    faulthandler.cancel_dump_traceback_later()

@@ -627,3 +627,117 @@ class TestPgdFilters:
         out = np.asarray(xf)
         np.testing.assert_allclose(
             np.abs(out).reshape(B, -1).max(-1), 1.0, rtol=1e-5)
+
+
+class TestTrainAttackRegistry:
+    """TRAIN_ATTACK_LOSSES vs direct torch transcriptions of the reference
+    training-attack loss registry (``semseg/val.py:104-127``)."""
+
+    def _logits_labels(self, rng):
+        lg = rng.normal(size=(B, H, W, C)).astype(np.float32) * 2.0
+        y = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+        lg_t = torch.from_numpy(np.moveaxis(lg, -1, 1).copy())
+        y_t = torch.from_numpy(y).long()
+        return lg, y, lg_t, y_t
+
+    def test_pgd_scalar_ce(self, rng):
+        from robseg_tpu.attacks.pgd import TRAIN_ATTACK_LOSSES
+        lg, y, lg_t, y_t = self._logits_labels(rng)
+        want = F.cross_entropy(lg_t, y_t).item()  # losses['pgd'], val.py:122
+        got = float(TRAIN_ATTACK_LOSSES["pgd"](jnp.asarray(lg),
+                                               jnp.asarray(y)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_mask_ce_avg(self, rng):
+        from robseg_tpu.attacks.pgd import TRAIN_ATTACK_LOSSES
+        lg, y, lg_t, y_t = self._logits_labels(rng)
+        # masked_cross_entropy, val.py:112-118
+        mask = (lg_t.max(1)[1] == y_t).float()
+        li = F.cross_entropy(lg_t, y_t, reduction="none")
+        want = (mask * li).view(B, -1).mean(-1).numpy()
+        got = np.asarray(TRAIN_ATTACK_LOSSES["mask-ce-avg"](
+            jnp.asarray(lg), jnp.asarray(y)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_js_avg(self, rng):
+        from robseg_tpu.attacks.pgd import TRAIN_ATTACK_LOSSES
+        lg, y, lg_t, y_t = self._logits_labels(rng)
+        # js_loss -> js_div_fn (attacker.py:187-234) with red_dim=1
+        p = F.softmax(lg_t, 1)
+        q = F.one_hot(y_t.view(B, -1), C).permute(0, 2, 1).view(p.shape
+                                                                ).float()
+        m = (p + q) / 2
+        loss = (F.kl_div(m.log(), p, reduction="none")
+                + F.kl_div(m.log(), q, reduction="none")) / 2
+        want = loss.sum(1).view(B, -1).mean(-1).numpy()
+        got = np.asarray(TRAIN_ATTACK_LOSSES["js-avg"](
+            jnp.asarray(lg), jnp.asarray(y)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_l2_loss(self, rng):
+        from robseg_tpu.attacks.pgd import TRAIN_ATTACK_LOSSES
+        lg, _, lg_t, _ = self._logits_labels(rng)
+        tgt = rng.normal(size=lg.shape).astype(np.float32)
+        want = ((lg_t - torch.from_numpy(np.moveaxis(tgt, -1, 1).copy()))
+                ** 2).view(B, -1).sum(-1).numpy()
+        got = np.asarray(TRAIN_ATTACK_LOSSES["l2-loss"](
+            jnp.asarray(lg), jnp.asarray(tgt)))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_registry_keys_match_reference(self):
+        from robseg_tpu.attacks.pgd import TRAIN_ATTACK_LOSSES
+        # val.py:121-127 registry surface
+        assert set(TRAIN_ATTACK_LOSSES) == {
+            "pgd", "mask-ce-avg", "js-avg", "l2-loss"}
+
+
+class TestPgdAttackRS:
+    """pgd_attack_rs vs a torch transcription of ``Pgd_Attack_1.adv_attack``
+    (``semseg/val.py:189-218``): shared initial delta, per-step equality."""
+
+    def _torch_rs(self, torch_fn, x_np, y_np, delta0_np, eps, alpha, n_iter):
+        x = torch.from_numpy(np.moveaxis(x_np, -1, 1).copy()).double()
+        y = torch.from_numpy(y_np).long()
+        delta = torch.from_numpy(np.moveaxis(delta0_np, -1, 1).copy()
+                                 ).double().requires_grad_(True)
+        for _ in range(n_iter):
+            logits = torch_fn(x + delta)  # quirk: no clamp in the forward
+            loss = F.cross_entropy(logits, y)
+            loss.backward()
+            g = delta.grad.detach()
+            with torch.no_grad():
+                delta.data = delta + alpha * torch.sign(g)
+                delta.data = (x + delta.data).clamp(0.0, 1.0) - x
+                delta.data = delta.data.clamp(-eps, eps)
+            delta.grad.zero_()
+        return np.moveaxis((x + delta).clamp(0.0, 1.0)
+                           .detach().numpy(), 1, -1)
+
+    def test_matches_torch_transcription(self, rng):
+        from robseg_tpu.attacks.pgd import pgd_attack_rs
+        jax_fn, torch_fn = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        y = np.asarray(jax_fn(jnp.asarray(x))).argmax(-1).astype(np.int32)
+        delta0 = rng.uniform(-EPS, EPS, size=x.shape).astype(np.float32)
+        want = self._torch_rs(torch_fn, x, y, delta0, EPS, 1e-2, 6)
+        got = np.asarray(pgd_attack_rs(
+            jax_fn, jnp.asarray(x), jnp.asarray(y), jax.random.PRNGKey(0),
+            eps=EPS, alpha=1e-2, num_iter=6,
+            delta_init=jnp.asarray(delta0)))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_random_start_ball_and_range(self, rng):
+        from robseg_tpu.attacks.pgd import pgd_attack_rs
+        jax_fn, _ = _make_linear_model(rng)
+        x = rng.random((B, H, W, 3)).astype(np.float32)
+        y = np.asarray(jax_fn(jnp.asarray(x))).argmax(-1).astype(np.int32)
+        adv = np.asarray(pgd_attack_rs(
+            jax_fn, jnp.asarray(x), jnp.asarray(y), jax.random.PRNGKey(7),
+            eps=EPS, alpha=1e-2, num_iter=3))
+        assert np.abs(adv - x).max() <= EPS + 1e-6
+        assert adv.min() >= 0.0 and adv.max() <= 1.0
+        # random start actually perturbs (not the zero-init variant)
+        adv2 = np.asarray(pgd_attack_rs(
+            jax_fn, jnp.asarray(x), jnp.asarray(y), jax.random.PRNGKey(8),
+            eps=EPS, alpha=1e-2, num_iter=3))
+        assert np.abs(adv - adv2).max() > 0

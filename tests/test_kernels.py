@@ -264,9 +264,11 @@ class TestConvNeXtBlockKernel:
         monkeypatch.setattr(cb, "_bf", lambda a: a)
         c = 96
         args = self._params(rng, c)
-        # H=24 exercises the pad-to-tile path (2 tiles of TH=16);
-        # W=20 exercises the column pre-pad
-        x = jnp.asarray(rng.normal(size=(2, 24, 20, c)).astype(np.float32))
+        # H=37 (prime) has no divisor in [6,32], so _pick_th falls back to
+        # TH=16 and the masked pad-to-tile path (3 tiles, 11 padded rows)
+        # really executes; W=20 exercises the column pre-pad
+        assert cb._pick_th(37) == 16 and 37 % 16 != 0
+        x = jnp.asarray(rng.normal(size=(2, 37, 20, c)).astype(np.float32))
         want = cb.convnext_block_reference(x, *args)
         with pltpu.force_tpu_interpret_mode():
             got = cb.convnext_block_fused(x, *args)

@@ -158,3 +158,38 @@ class TestFusedBuild:
         t0 = jax.tree.structure(v0)
         t1 = jax.tree.structure(v1)
         assert t0 == t1
+
+
+class TestSegmenterZoo:
+    def test_zoo_covers_reference_yml(self):
+        """All 14 ``configs/segmenter.yml:1-115`` model entries are
+        buildable, incl. the 4 deit_*_distilled ones."""
+        from robseg_tpu.models import SEGMENTER_VARIANTS, create_segmenter
+        ref_entries = {
+            "deit_tiny_distilled_patch16_224",
+            "deit_small_distilled_patch16_224",
+            "deit_base_distilled_patch16_224",
+            "deit_base_distilled_patch16_384",
+            "vit_base_patch16_SAM", "vit_tiny_patch16_384",
+            "vit_small_patch32_384", "vit_small_patch16_384",
+            "vit_small_patch16_224", "vit_base_patch8_384",
+            "vit_base_patch16_384", "vit_base_patch32_384",
+            "vit_large_patch16_384", "vit_large_patch32_384",
+        }
+        assert ref_entries <= set(SEGMENTER_VARIANTS)
+        for name in ref_entries:
+            m = create_segmenter(name, n_cls=5, image_size=(64, 64))
+            assert m.distilled == name.startswith("deit_"), name
+
+    def test_deit_tiny_distilled_forward(self, rng):
+        from robseg_tpu.models import create_segmenter
+        m = create_segmenter("deit_tiny_distilled_patch16_224", n_cls=5,
+                             image_size=(64, 64))
+        x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        assert "dist_token" in v["params"]["encoder"]
+        # pos_embed sized for 2 extra tokens (4x4 grid + cls + dist)
+        assert v["params"]["encoder"]["pos_embed"].shape[1] == 16 + 2
+        out = m.apply(v, x)
+        assert out.shape == (1, 64, 64, 5)
+        assert bool(jnp.isfinite(out).all())

@@ -130,9 +130,32 @@ class TestReferenceLogitsParity:
         # more than the conv families (measured rel ~1.01e-5, argmax 100%)
         _assert_logits_close(got, want, rel=2e-5)
 
+    def test_segmenter_deit_distilled_128(self, ref, rng, tmp_path):
+        """dist-token path end-to-end: the reference's own distilled ViT
+        (``vit_encoder.py:227-273`` + the 2-token drop in
+        ``segmenter.py:220-224``) vs our ``deit_small_distilled`` zoo entry,
+        weights through ``convert_segmenter`` (dist_token included)."""
+        torch.manual_seed(7)
+        tm = _make_ref_segmenter(ref, tmp_path, n_cls=21, im=128,
+                                 distilled=True).eval()
+        sd = _np_sd(tm)
+        assert "encoder.dist_token" in sd  # the path actually exists
+        params, _ = convert_segmenter(sd, n_layers=12, decoder_layers=2,
+                                      target_grid=(8, 8))
+        assert "dist_token" in params["encoder"]
+        module = models.create_segmenter("deit_small_distilled_patch16_224",
+                                         21, image_size=(128, 128))
+        x = rng.random((1, 128, 128, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = _nhwc(tm(torch.from_numpy(np.moveaxis(x, -1, 1).copy())))
+        got = np.asarray(module.apply({"params": params}, jnp.asarray(x)))
+        assert got.shape == want.shape == (1, 128, 128, 21)
+        _assert_logits_close(got, want, rel=2e-5)
+
 
 def _make_ref_segmenter(ref, tmp_path, n_cls=150,
-                        backbone="vit_small_patch16_384", im=512):
+                        backbone="vit_small_patch16_384", im=512,
+                        distilled=False):
     """Drive the reference's create_segmenter exactly like
     ``load_config_segmenter`` (``semseg/utils/utils.py:258-278``) would;
     the dummy .pth makes its strict load fail into the except->random-init
@@ -141,7 +164,7 @@ def _make_ref_segmenter(ref, tmp_path, n_cls=150,
     torch.save({}, dummy)
     model_cfg = dict(backbone=backbone, image_size=(im, im), patch_size=16,
                      d_model=384, n_heads=6, n_layers=12,
-                     normalization="vit", distilled=False, dropout=0.0,
+                     normalization="vit", distilled=distilled, dropout=0.0,
                      drop_path_rate=0.1, n_cls=n_cls,
                      decoder=dict(name="mask_transformer",
                                   drop_path_rate=0.0, dropout=0.1,
@@ -218,8 +241,61 @@ def _run_both_largereps(ref, jax_fn, torch_model, x, y, *, loss, n_iter,
     np.testing.assert_allclose(got_acc, ref_acc.numpy(), atol=1e-9)
 
 
+def _run_both_single(ref, jax_fn, torch_model, x, y, *, norm, loss, n_iter,
+                     eps, weights=None, atol=1e-7):
+    """One ``apgd_train`` run (the L2/L1 branches are unreachable from
+    ``apgd_largereps`` — its ``_project`` raises for non-Linf,
+    ``attacker.py:683-690``) vs our ``apgd_attack``: f64, no random start,
+    matching x_best / acc / loss_best / x_best_adv."""
+    from robseg_tpu.attacks import apgd_attack
+    tw = (torch.from_numpy(np.asarray(weights)).double()
+          if weights is not None else None)
+    tx = torch.from_numpy(np.moveaxis(x, -1, 1).copy()).double()
+    ty = torch.from_numpy(y).long()
+    rb, racc, rlb, rba = ref.attacker.apgd_train(
+        torch_model, tx, ty, norm, eps, n_iter=n_iter, use_rs=False,
+        loss=loss, verbose=False, early_stop=False, track_loss="ce-avg",
+        ignore_index=-1, num_classes=int(y.max()) + 1, weights=tw,
+        logger=ref.attacker.Logger(None))
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        w = jnp.asarray(weights) if weights is not None else None
+        res = apgd_attack(
+            jax_fn, jnp.asarray(x.astype(np.float64)), jnp.asarray(y),
+            norm=norm, eps=eps, n_iter=n_iter, use_rs=False, loss=loss,
+            track_loss="ce-avg", early_stop=False, weights=w)
+        got_b, got_acc = np.asarray(res.x_best), np.asarray(res.acc)
+        got_lb, got_ba = np.asarray(res.loss_best), np.asarray(res.x_best_adv)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    np.testing.assert_allclose(got_b, _nhwc(rb), atol=atol)
+    np.testing.assert_allclose(got_ba, _nhwc(rba), atol=atol)
+    np.testing.assert_allclose(got_acc, racc.numpy(), atol=1e-9)
+    np.testing.assert_allclose(got_lb, rlb.numpy(), atol=1e-7)
+
+
 class TestReferenceAPGDTrajectory:
     """Full apgd_largereps trajectories vs the reference's own loop."""
+
+    @pytest.mark.parametrize("norm", ["L2", "L1"])
+    def test_tiny_model_l2_l1_full_100_iters(self, ref, rng, norm):
+        """The L2/L1 APGD branches (``attacker.py:394-458``: L2 norm-scaled
+        step + projection; L1 sparse-gradient step + sparsity-adaptive
+        step-size controller) against the reference's own loop."""
+        pair = _TinyConvPair(rng)
+        x = rng.random((2, 16, 16, 3)).astype(np.float64)
+        logits = np.asarray(pair.jax_fn(jnp.asarray(x)))
+        y = logits.argmax(-1).astype(np.int32)
+        y[:, 0, :2] = -1
+        eps = {"L2": 2.0, "L1": 40.0}[norm]
+        # L1 atol 1e-6: the sort-based L1-ball projection's dual search
+        # walks a few ulp apart over 100 chained f64 iterations (observed:
+        # 1 of 1536 elements at 1.7e-7); semantic divergence (wrong sparse
+        # set, different step-size adaptation) shows up at 1e-3+
+        _run_both_single(ref, pair.jax_fn, pair.torch_module(), x, y,
+                         norm=norm, loss="mask-ce-avg", n_iter=100,
+                         eps=eps, atol=1e-6 if norm == "L1" else 1e-7)
 
     @pytest.mark.parametrize("loss", ["mask-ce-avg", "js-avg",
                                       "mask-ce-bal"])

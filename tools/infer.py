@@ -64,7 +64,8 @@ def main():
     parser.add_argument("--fused", action="store_true",
                         help="whole-block Pallas ConvNeXt kernel "
                              "(UperNet only; same numerics class as the "
-                             "XLA default; see BENCHMARKS.md)")
+                             "XLA default; composes with --shard; "
+                             "see BENCHMARKS.md)")
     parser.add_argument("--precision", type=str, default="default",
                         choices=["default", "bf16", "f32"],
                         help="matmul/conv precision: bf16 = fastest (MXU "
@@ -81,12 +82,17 @@ def main():
         jax.config.update("jax_default_matmul_precision", "bfloat16")
     elif args.precision == "f32":
         jax.config.update("jax_default_matmul_precision", "float32")
-    if args.fused and args.shard:
-        # Pallas custom-calls have no SPMD partitioning rules, so the
-        # jit-auto-partitioned --shard path cannot split them over the
-        # mesh (XLA RET_CHECKs). Per-chip fused attacks still work.
-        parser.error("--fused is single-chip only; drop it for --shard "
-                     "(pod-scale) runs")
+    if args.fused and args.precision == "f32":
+        # the fused-block kernel truncates its matmul operands to bf16
+        # unconditionally (XLA-DEFAULT numerics; kernels/convnext_block.py),
+        # so a pinned-f32 parity run cannot use it
+        parser.error("--fused forces bf16-MXU matmul numerics inside the "
+                     "fused blocks and cannot honor --precision f32; use "
+                     "--precision default (same numerics class) or drop "
+                     "--fused for exact-f32 parity runs")
+    # --fused composes with --shard: the SEA attack runs per device under
+    # shard_map (robseg_tpu/attacks/sea.py::_make_attack_fn), so Pallas
+    # kernels execute locally per shard — same pattern as the trainer.
 
     cfg = load_config(args.cfg)
     dataset_cfg, test_cfg = cfg["DATASET"], cfg["EVAL"]
