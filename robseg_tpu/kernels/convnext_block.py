@@ -58,7 +58,14 @@ _TH_PREF = 16
 def _pick_th(h: int) -> int:
     """Tile height for an H-row feature map: the divisor of h in [6, 32]
     closest to the preferred 16 (zero pad waste — e.g. VOC geometry's
-    119 rows -> th=17, 60 rows -> th=15), else 16 with masked padding."""
+    119 rows -> th=17, 60 rows -> th=15), else 16 with masked padding.
+
+    ``ROBSEG_BLOCK_TH`` (trace-time env var) overrides the choice for
+    tile-height experiments (tools/bench_train.py --block_th)."""
+    import os
+    override = os.environ.get("ROBSEG_BLOCK_TH")
+    if override:
+        return max(6, int(override))
     best = None
     for th in range(6, 33):
         if h % th == 0:
@@ -195,6 +202,162 @@ def _bwd_kernel(xp_prev, xp_cur, xp_next, dy_prev, dy_cur, dy_next,
             term = sl * dw_ref[ky, kx][None, None, :].astype(jnp.float32)
             acc = term if acc is None else acc + term
     dx_ref[0] = (dyb[th:2 * th, :w_real, :] + acc).astype(dx_ref.dtype)
+
+
+def _fwd_kernel_whole(xp_ref, dw_ref, dwb_ref, ls_ref, lb_ref, w1_ref,
+                      b1_ref, w2_ref, b2_ref, g_ref, out_ref, *,
+                      h_real: int, w_real: int):
+    """Whole-image variant (small-spatial stages): the full (H+6, W+6)
+    zero-padded image sits in VMEM, so there are no halo views, no row
+    masking, and the backward recomputes with ZERO overcompute — the
+    (th+6)/th band tax that made tiled stage-2 fusion a net loss
+    (BENCHMARKS.md round-2) does not exist here."""
+    xb = xp_ref[0].astype(jnp.float32)              # (H+6, W+6, C)
+    f32 = lambda r: r[0].astype(jnp.float32)                    # noqa: E731
+    y = _dwconv(xb, dw_ref, h_real, w_real, 3) + f32(dwb_ref)[None, None, :]
+    c = y.shape[-1]
+    t = y.reshape(h_real * w_real, c)
+    mean = t.mean(-1, keepdims=True)
+    d = t - mean
+    var = (d * d).mean(-1, keepdims=True)
+    u = d * jax.lax.rsqrt(var + 1e-6) * f32(ls_ref) + f32(lb_ref)
+    h = jnp.dot(_bf(u), _bf(w1_ref[:]),
+                preferred_element_type=jnp.float32) + f32(b1_ref)
+    a = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    m = jnp.dot(_bf(a), _bf(w2_ref[:]),
+                preferred_element_type=jnp.float32) + f32(b2_ref)
+    branch = (f32(g_ref) * m).reshape(h_real, w_real, c)
+    out_ref[0] = (xb[3:3 + h_real, 3:3 + w_real, :]
+                  + branch).astype(out_ref.dtype)
+
+
+def _bwd_kernel_whole(xp_ref, dy_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
+                      w1_ref, b1_ref, w2_ref, g_ref, dx_ref, *,
+                      h_real: int, w_real: int):
+    """Input gradient, whole image in VMEM: recompute dwconv/LN/h on
+    exactly the H x W tokens (no halo band), then close the 7x7 stencil
+    with the flipped-filter correlation over a 3-row/3-col zero pad."""
+    xb = xp_ref[0].astype(jnp.float32)
+    dyb = dy_ref[0].astype(jnp.float32)             # (H, W, C)
+    f32 = lambda r: r[0].astype(jnp.float32)                    # noqa: E731
+    y = _dwconv(xb, dw_ref, h_real, w_real, 3) + f32(dwb_ref)[None, None, :]
+    c = y.shape[-1]
+    t = y.reshape(h_real * w_real, c)
+    mean = t.mean(-1, keepdims=True)
+    d = t - mean
+    var = (d * d).mean(-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    xhat = d * inv
+    u = xhat * f32(ls_ref) + f32(lb_ref)
+    gm = (dyb * f32(g_ref)[None, None, :]).reshape(h_real * w_real, c)
+
+    hid = w1_ref.shape[1]
+    chunk = 128
+    sq2 = 0.7071067811865476
+    ub = _bf(u)
+    gmb = _bf(gm)
+    du = None
+    for k in range(0, hid, chunk):
+        w1k = w1_ref[:, k:k + chunk]
+        h = (jnp.dot(ub, _bf(w1k), preferred_element_type=jnp.float32)
+             + b1_ref[0, k:k + chunk].astype(jnp.float32))
+        da = jnp.dot(gmb, _bf(w2_ref[k:k + chunk, :].T),
+                     preferred_element_type=jnp.float32)
+        cdf = 0.5 * (1.0 + _erf(h * sq2))
+        pdf = 0.3989422804014327 * jnp.exp(-0.5 * h * h)
+        dh = da * (cdf + h * pdf)
+        dk = jnp.dot(_bf(dh), _bf(w1k.T),
+                     preferred_element_type=jnp.float32)
+        du = dk if du is None else du + dk
+    dxhat = du * f32(ls_ref)[None, :]
+    s1 = dxhat.mean(-1, keepdims=True)
+    s2 = (dxhat * xhat).mean(-1, keepdims=True)
+    dyconv = (inv * (dxhat - s1 - xhat * s2)).reshape(h_real, w_real, c)
+
+    dpad = jnp.pad(dyconv, ((3, 3), (3, 3), (0, 0)))
+    acc = None
+    for ky in range(7):
+        for kx in range(7):
+            sl = dpad[6 - ky:6 - ky + h_real, 6 - kx:6 - kx + w_real, :]
+            term = sl * dw_ref[ky, kx][None, None, :].astype(jnp.float32)
+            acc = term if acc is None else acc + term
+    dx_ref[0] = (dyb + acc).astype(dx_ref.dtype)
+
+
+def _block_whole_fwd_call(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma):
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hid = w1.shape[1]
+    vb = lambda r: _full1((1, r))                               # noqa: E731
+    w1, w2 = _bf(w1), _bf(w2)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_whole, h_real=h, w_real=w),
+        grid=(b,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        in_specs=[pl.BlockSpec((1, h + 6, w + 6, c), lambda bb: (bb, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  _full1((7, 7, c)), vb(c), vb(c), vb(c),
+                  _full1((c, hid)), vb(hid), _full1((hid, c)), vb(c), vb(c)],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda bb: (bb, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+    )(xp, dw, *_vecs(dwb, ls, lb), w1, *_vecs(b1), w2, *_vecs(b2, gamma))
+
+
+def _block_whole_bwd_call(x, dy, dw, dwb, ls, lb, w1, b1, w2, gamma):
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hid = w1.shape[1]
+    vb = lambda r: _full1((1, r))                               # noqa: E731
+    w1, w2 = _bf(w1), _bf(w2)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_whole, h_real=h, w_real=w),
+        grid=(b,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        in_specs=[pl.BlockSpec((1, h + 6, w + 6, c), lambda bb: (bb, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, h, w, c), lambda bb: (bb, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  _full1((7, 7, c)), vb(c), vb(c), vb(c),
+                  _full1((c, hid)), vb(hid), _full1((hid, c)), vb(c)],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda bb: (bb, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+    )(xp, dy, dw, *_vecs(dwb, ls, lb), w1, *_vecs(b1), w2, *_vecs(gamma))
+
+
+@jax.custom_vjp
+def convnext_block_fused_whole(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma):
+    """Whole-image ConvNeXt block kernel for small-spatial stages (the
+    full zero-padded image per batch element lives in VMEM). Same
+    contract as ``convnext_block_fused``; input gradients only."""
+    return _block_whole_fwd_call(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma)
+
+
+def _cbfw_fwd(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma):
+    out = _block_whole_fwd_call(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma)
+    return out, (x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma)
+
+
+def _cbfw_bwd(res, dy):
+    x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma = res
+    dx = _block_whole_bwd_call(x, dy, dw, dwb, ls, lb, w1, b1, w2, gamma)
+    z = lambda v: jnp.zeros_like(v)                             # noqa: E731
+    return (dx, z(dw), z(dwb), z(ls), z(lb), z(w1), z(b1), z(w2),
+            z(b2), z(gamma))
+
+
+convnext_block_fused_whole.defvjp(_cbfw_fwd, _cbfw_bwd)
+
+convnext_block_fused_whole_shared = jax.jit(convnext_block_fused_whole)
+
+
+def _full1(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda b: (0,) * nd,
+                        memory_space=pltpu.VMEM)
 
 
 def _specs_3view(nt, block):

@@ -96,7 +96,10 @@ def build_model(model_name: str, backbone: str, n_cls: int,
         return UperNetForSemanticSegmentation(
             backbone_variant=variant, num_classes=n_cls,
             bn_axis_name=bn_axis_name, fused_mlp=fused,
-            fused_mlp_mode="block")
+            fused_mlp_mode="block",
+            # measured (tools/bench_fused.py): the pure-XLA split head
+            # beats both the concat ConvModule and the Pallas fpn kernel
+            fused_head="split" if fused else False)
     if model_name == "PSPNet":
         return PSPNet(classes=n_cls, deep_base=pspnet_clean,
                       bn_axis_name=bn_axis_name)

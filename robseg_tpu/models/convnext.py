@@ -69,18 +69,40 @@ class ConvNeXtBlock(nn.Module):
             "gamma",
             nn.initializers.constant(self.layer_scale_init_value),
             (self.dim,))
-        # dim 768's weights alone need ~19 MB double-buffered VMEM, and its
-        # 16x16 spatial grid gains nothing from fusion — fuse dims <= 384.
         # The kernels are deterministic-mode only (their VJP ignores
         # DropPath), so a train-mode apply falls through to the XLA path
-        # rather than silently dropping stochastic depth.
-        use_fused = (self.fused_mlp and self.dim <= 384 and deterministic
+        # rather than silently dropping stochastic depth. Per-kernel dim
+        # gates live on the branches below (the MLP-tail kernels stop at
+        # dim 384: the 768-dim weights blow their VMEM budget; the
+        # whole-image block kernel holds bf16 panels and takes dim 768).
+        use_fused = (self.fused_mlp and deterministic
                      and not self.is_initializing())
         # whole-block kernel for the large-spatial stages (dims <= 192).
         # Measured (BENCHMARKS.md): fusing stage2 (dim 384) as well is a
         # small net loss at every tile height tried (th=8: 55.8, th=16:
         # 58.0 vs 58.3 without) — its backward-band overcompute costs
         # more than its small 32^2 tensors save.
+        if (use_fused and self.fused_mlp_mode == "block"
+                and self.dim > 192 and x.shape[1] <= 48 and x.shape[2] <= 48
+                and not self.is_initializing()):
+            # small-spatial stages (dim 384 @32^2, dim 768 @16^2 at 512^2
+            # input): the whole zero-padded image fits in VMEM, so the
+            # halo-free whole-image kernel applies — zero backward
+            # overcompute (the tax that made tiled stage-2 fusion lose).
+            dummy = jnp.zeros((1, self.dim), y.dtype)
+            norm(dummy)
+            pw1(dummy)
+            pw2(jnp.zeros((1, 4 * self.dim), y.dtype))
+            from robseg_tpu.kernels.convnext_block import (
+                convnext_block_fused_whole_shared)
+            dwv = dwconv.variables["params"]
+            np_ = norm.variables["params"]
+            p1 = pw1.variables["params"]
+            p2 = pw2.variables["params"]
+            return convnext_block_fused_whole_shared(
+                x, dwv["kernel"].reshape(7, 7, self.dim), dwv["bias"],
+                np_["scale"], np_["bias"], p1["kernel"], p1["bias"],
+                p2["kernel"], p2["bias"], gamma)
         if (use_fused and self.fused_mlp_mode == "block"
                 and self.dim <= 192):
             # whole-block Pallas kernel: dwconv+LN+MLP+gamma+residual in
@@ -102,7 +124,7 @@ class ConvNeXtBlock(nn.Module):
                 np_["scale"], np_["bias"], p1["kernel"], p1["bias"],
                 p2["kernel"], p2["bias"], gamma)
             return out
-        if use_fused and self.fused_mlp_mode != "block":
+        if use_fused and self.fused_mlp_mode != "block" and self.dim <= 384:
             # MLP-tail kernels (in block mode, dim-384 blocks fall through
             # to the default XLA path below instead)
             # create the params with dummy calls (dead code after DCE),

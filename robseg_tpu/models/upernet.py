@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -32,6 +33,11 @@ class UperNetHead(nn.Module):
     channels: int = 512
     pool_scales: Sequence[int] = (1, 2, 3, 6)
     bn_axis_name: Optional[str] = None
+    # fpn_bottleneck fusion (attack/eval only), avoiding the 2048-ch HBM
+    # concat: "pallas" (True) = kernels/fpn_conv.py one-pass kernel;
+    # "split" = pure-XLA sum of 4 convs on weight slices (same math,
+    # XLA's own conv kernels); False = reference concat+ConvModule.
+    fused_head: object = False
 
     @nn.compact
     def __call__(self, feats: Sequence[Array], train: bool = False) -> Array:
@@ -64,8 +70,45 @@ class UperNetHead(nn.Module):
         for i in range(len(fpn_outs) - 1, 0, -1):
             fpn_outs[i] = resize_bilinear(fpn_outs[i], fpn_outs[0].shape[1:3],
                                           align_corners=False)
-        x = jnp.concatenate(fpn_outs, axis=-1)
-        x = cm(self.channels, 3, 1, "fpn_bottleneck")(x, train)
+        bottleneck = cm(self.channels, 3, 1, "fpn_bottleneck")
+        if (self.fused_head and not train and not self.is_initializing()):
+            # materialize the identical param tree with a dummy eval (DCE'd
+            # under jit), then run the raw params through the fused path
+            nsrc = len(fpn_outs)
+            dummy = jnp.zeros((1, 4, 4, nsrc * self.channels),
+                              fpn_outs[0].dtype)
+            bottleneck(dummy, False)
+            p = bottleneck.variables["params"]
+            bs = bottleneck.variables["batch_stats"]
+            k = p["conv"]["kernel"]  # (3, 3, nsrc*C, C_out)
+            f32 = lambda a: a.astype(jnp.float32)              # noqa: E731
+            s = f32(p["bn"]["scale"]) * jax.lax.rsqrt(
+                f32(bs["bn"]["var"]) + 1e-5)
+            t = f32(p["bn"]["bias"]) - f32(bs["bn"]["mean"]) * s
+            if self.fused_head == "split":
+                # sum of per-source convs: the concat never materializes
+                # and XLA fuses each conv input from its producer
+                acc = None
+                for i, f in enumerate(fpn_outs):
+                    ki = jax.lax.slice_in_dim(
+                        k, i * self.channels, (i + 1) * self.channels, axis=2)
+                    o = jax.lax.conv_general_dilated(
+                        f, ki.astype(f.dtype), (1, 1), ((1, 1), (1, 1)),
+                        dimension_numbers=jax.lax.conv_dimension_numbers(
+                            f.shape, ki.shape, ("NHWC", "HWIO", "NHWC")))
+                    acc = o if acc is None else acc + o
+                x = jnp.maximum(acc * s.astype(acc.dtype)
+                                + t.astype(acc.dtype), 0)
+            else:  # "pallas" / True: kernels/fpn_conv.py one-pass kernel
+                from robseg_tpu.kernels.fpn_conv import (
+                    fpn_concat_conv_shared)
+                wk = k.reshape(3, 3, nsrc, self.channels,
+                               k.shape[-1]).transpose(2, 0, 1, 3, 4)
+                x = fpn_concat_conv_shared(tuple(fpn_outs), wk, (s, t),
+                                           fpn_outs[0].dtype)
+        else:
+            x = jnp.concatenate(fpn_outs, axis=-1)
+            x = bottleneck(x, train)
         return nn.Conv(self.num_classes, (1, 1), name="classifier")(x)
 
 
@@ -96,6 +139,7 @@ class UperNetForSemanticSegmentation(nn.Module):
     bn_axis_name: Optional[str] = None
     fused_mlp: bool = False  # Pallas ConvNeXt LN/MLP fusion (eval/attack)
     fused_mlp_mode: str = "residual"  # see ConvNeXtBlock.fused_mlp_mode
+    fused_head: bool = False  # Pallas fpn_bottleneck fusion (eval/attack)
 
     @nn.compact
     def __call__(self, x: Array, labels: Optional[Array] = None,
@@ -106,6 +150,7 @@ class UperNetForSemanticSegmentation(nn.Module):
         dims = CONVNEXT_SETTINGS[self.backbone_variant][1]
         logits = UperNetHead(self.num_classes, in_channels=dims,
                              bn_axis_name=self.bn_axis_name,
+                             fused_head=self.fused_head,
                              name="decode_head")(feats, train)
         logits = resize_bilinear(logits, x.shape[1:3], align_corners=False)
         if labels is None and not self.is_initializing():

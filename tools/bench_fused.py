@@ -66,6 +66,23 @@ def main():
     def make(mode):
         if mode == "default":
             return base
+        if mode == "head":  # fused fpn_bottleneck only (kernels/fpn_conv)
+            return models.UperNetForSemanticSegmentation(
+                backbone_variant="T_CVST", num_classes=n_cls,
+                fused_head=True)
+        if mode == "head_split":  # pure-XLA split-conv fpn_bottleneck
+            return models.UperNetForSemanticSegmentation(
+                backbone_variant="T_CVST", num_classes=n_cls,
+                fused_head="split")
+        if mode == "block_head_split":
+            return models.UperNetForSemanticSegmentation(
+                backbone_variant="T_CVST", num_classes=n_cls,
+                fused_mlp=True, fused_mlp_mode="block",
+                fused_head="split")
+        if mode == "block_head":  # the full --fused package
+            return models.UperNetForSemanticSegmentation(
+                backbone_variant="T_CVST", num_classes=n_cls,
+                fused_mlp=True, fused_mlp_mode="block", fused_head=True)
         mode_map = {"rs": "residual", "recompute": "recompute",
                     "rs_bf16": "residual_bf16",
                     "recompute_bf16": "recompute_bf16",

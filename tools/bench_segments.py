@@ -1,17 +1,21 @@
 """Per-segment timing of the APGD attack step (roofline attribution).
 
 Times, at bench.py geometry (UperNet-ConvNeXt-T_CVST, 512^2, batch 16):
-  backbone fwd / fwd+input-grad, head fwd / fwd+input-grad (given fixed
-  features), full model fwd / fwd+input-grad, full APGD step — each as one
-  jitted call with a forced host transfer (block_until_ready does not block
-  through the axon tunnel).
+backbone fwd / fwd+input-grad, head fwd / fwd+input-grad (given fixed
+features), full model fwd / fwd+input-grad — per --modes config.
 
-Feeds the BENCHMARKS.md decomposition. Run on a quiet host: single-dispatch
-timings are tunnel-latency sensitive.
+Timing methodology (round-3 revision): N serial dependent calls inside ONE
+jit via lax.scan, differencing two chain lengths. Single-dispatch timing
+through the axon tunnel is unreliable (queueing + transfer artifacts
+produced the round-2 "87 TF/s head" mis-attribution); every output leaf is
+consumed by a full reduction so XLA cannot dead-code sibling ops.
+
+Feeds the BENCHMARKS.md decomposition.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -23,67 +27,109 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default="default,fused")
+    ap.add_argument("--segments", default="backbone_fwd,"
+                    "backbone_fwd_input_grad,head_fwd,head_fwd_input_grad,"
+                    "full_fwd,full_fwd_input_grad")
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--hw", type=int, default=512)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     from robseg_tpu import models
     from robseg_tpu.models.upernet import UperNetHead
     from robseg_tpu.models.convnext import ConvNeXt, CONVNEXT_SETTINGS
 
-    batch, hw, n_cls = 16, 512, 21
+    batch, hw, n_cls = args.batch, args.hw, 21
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((batch, hw, hw, 3)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, n_cls, (batch, hw, hw)).astype(np.int32))
 
-    bb = ConvNeXt("T_CVST")
-    vb = jax.jit(bb.init)(jax.random.PRNGKey(0),
-                          jnp.zeros((1, hw, hw, 3), jnp.float32))
-    dims = CONVNEXT_SETTINGS["T_CVST"][1]
-    head = UperNetHead(n_cls, in_channels=dims)
-    feats0 = jax.jit(lambda xx: bb.apply(vb, xx))(x)
-    vh = jax.jit(head.init)(jax.random.PRNGKey(1),
-                            jax.tree.map(lambda a: a[:1], feats0))
-
-    full = models.UperNetForSemanticSegmentation(
-        backbone_variant="T_CVST", num_classes=n_cls)
-    vf = jax.jit(full.init)(jax.random.PRNGKey(0),
-                            jnp.zeros((1, hw, hw, 3), jnp.float32))
-
-    def loss_of(logits):
-        logp = jax.nn.log_softmax(logits)
-        oh = jax.nn.one_hot(y[:, :128, :128] if logits.shape[1] == 128
-                            else y, logits.shape[-1])
-        return -(oh * logp).mean()
-
-    bb_fwd = jax.jit(lambda xx: bb.apply(vb, xx)[-1])
-    bb_grad = jax.jit(jax.grad(lambda xx: bb.apply(vb, xx)[-1].sum()))
-    head_fwd = jax.jit(lambda ff: head.apply(vh, ff))
-    head_grad = jax.jit(jax.grad(lambda ff: loss_of(head.apply(vh, ff)),
-                                 argnums=0))
-    full_fwd = jax.jit(lambda xx: full.apply(vf, xx))
-    full_grad = jax.jit(jax.grad(
-        lambda xx: loss_of(full.apply(vf, xx))))
-
     def force(a):
         return float(np.asarray(jax.tree.leaves(a)[0]).ravel()[0])
 
-    def t(fn, arg, reps=5):
-        force(fn(arg))
-        force(fn(arg))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(arg)
-        force(out)
-        return (time.perf_counter() - t0) / reps * 1000
+    def chain(fn, n):
+        @jax.jit
+        def g(a0, rest):
+            def body(c, _):
+                out = fn(jax.tree.map(lambda v: v + c, a0), rest)
+                tot = sum(leaf.astype(jnp.float32).mean()
+                          for leaf in jax.tree.leaves(out))
+                return (tot * 1e-20).astype(jnp.float32), None
+            c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                length=n)
+            return c
+        return g
+
+    def t(fn, a0, rest=None, reps=args.reps):
+        g1, g2 = chain(fn, 2), chain(fn, 2 + reps)
+        force(g1(a0, rest)); force(g2(a0, rest))
+        t0 = time.perf_counter(); force(g1(a0, rest))
+        t1 = time.perf_counter(); force(g2(a0, rest))
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / reps * 1000
+
+    def loss_of(logits):
+        logp = jax.nn.log_softmax(logits)
+        oh = jax.nn.one_hot(y[:, :logits.shape[1], :logits.shape[2]],
+                            logits.shape[-1])
+        return -(oh * logp).mean()
+
+    def build(mode):
+        if mode == "default":
+            bb = ConvNeXt("T_CVST")
+            head = UperNetHead(n_cls,
+                               in_channels=CONVNEXT_SETTINGS["T_CVST"][1])
+            full = models.UperNetForSemanticSegmentation(
+                backbone_variant="T_CVST", num_classes=n_cls)
+        else:  # fused: block backbone kernels + split head
+            bb = ConvNeXt("T_CVST", fused_mlp=True, fused_mlp_mode="block")
+            head = UperNetHead(n_cls,
+                               in_channels=CONVNEXT_SETTINGS["T_CVST"][1],
+                               fused_head="split")
+            full = models.build_model(
+                "UperNetForSemanticSegmentation", "ConvNeXt-T_CVST",
+                n_cls, image_size=(hw, hw), fused=True)
+        return bb, head, full
+
+    bb0, head0, _ = build("default")
+    vb = jax.jit(bb0.init)(jax.random.PRNGKey(0),
+                           jnp.zeros((1, hw, hw, 3), jnp.float32))
+    feats0 = jax.jit(lambda xx: bb0.apply(vb, xx))(x)
+    vh = jax.jit(head0.init)(jax.random.PRNGKey(1),
+                             jax.tree.map(lambda a: a[:1], feats0))
+    vf = None
 
     res = {}
-    res["backbone_fwd_ms"] = round(t(bb_fwd, x), 1)
-    res["backbone_fwd_input_grad_ms"] = round(t(bb_grad, x), 1)
-    res["head_fwd_ms"] = round(t(head_fwd, feats0), 1)
-    res["head_fwd_input_grad_ms"] = round(t(head_grad, feats0), 1)
-    res["full_fwd_ms"] = round(t(full_fwd, x), 1)
-    res["full_fwd_input_grad_ms"] = round(t(full_grad, x), 1)
-    for k, v in res.items():
-        print(f"{k}: {v}", flush=True)
+    for mode in args.modes.split(","):
+        bb, head, full = build(mode)
+        if vf is None:
+            vf = jax.jit(full.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, hw, hw, 3), jnp.float32))
+        bb_fwd = lambda xx, _: bb.apply(vb, xx)[-1]              # noqa: E731
+        bb_grad = jax.grad(lambda xx, _: bb.apply(vb, xx)[-1].sum())
+        head_fwd = lambda ff, _: head.apply(vh, ff)              # noqa: E731
+        head_grad = jax.grad(
+            lambda ff, _: loss_of(head.apply(vh, ff)))
+        full_fwd = lambda xx, _: full.apply(vf, xx)              # noqa: E731
+        full_grad = jax.grad(lambda xx, _: loss_of(full.apply(vf, xx)))
+
+        sel = args.segments.split(",")
+        for name, fn, a0 in (
+                ("backbone_fwd", bb_fwd, x),
+                ("backbone_fwd_input_grad", bb_grad, x),
+                ("head_fwd", head_fwd, feats0),
+                ("head_fwd_input_grad", head_grad, feats0),
+                ("full_fwd", full_fwd, x),
+                ("full_fwd_input_grad", full_grad, x)):
+            if name not in sel:
+                continue
+            ms = t(fn, a0)
+            res[f"{mode}_{name}_ms"] = round(ms, 1)
+            print(f"{mode:8s} {name}: {ms:.1f} ms", flush=True)
     print(json.dumps(res))
 
 
