@@ -37,12 +37,14 @@ def main():
     batch, hw, n_cls = 16, 512, 21
     n_iter = 20
 
-    # fused whole-block ConvNeXt kernel (kernels/convnext_block.py):
-    # same numerics class as the XLA default (both truncate MXU operands
-    # to bf16); measured +2.5% attack rate over pure XLA
-    module = models.UperNetForSemanticSegmentation(
-        backbone_variant="T_CVST", num_classes=n_cls,
-        fused_mlp=True, fused_mlp_mode="block")
+    # the full --fused package (models.build_model(fused=True)): whole-
+    # block ConvNeXt kernels + split-conv FPN head — same numerics class
+    # as the XLA default (kernels truncate MXU operands to bf16; the split
+    # head is f32-reassociation exact); measured best attack config
+    # (tools/bench_fused.py round-3 A/B)
+    module = models.build_model(
+        "UperNetForSemanticSegmentation", "ConvNeXt-T_CVST", n_cls,
+        image_size=(hw, hw), fused=True)
     x0 = jnp.zeros((batch, hw, hw, 3), jnp.float32)
     variables = jax.jit(module.init)(jax.random.PRNGKey(0), x0)
     v16 = jax.tree.map(

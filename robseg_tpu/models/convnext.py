@@ -83,7 +83,8 @@ class ConvNeXtBlock(nn.Module):
         # 58.0 vs 58.3 without) — its backward-band overcompute costs
         # more than its small 32^2 tensors save.
         if (use_fused and self.fused_mlp_mode == "block"
-                and self.dim > 192 and x.shape[1] <= 48 and x.shape[2] <= 48
+                and self.dim > 192
+                and 8 <= x.shape[1] <= 48 and 8 <= x.shape[2] <= 48
                 and not self.is_initializing()):
             # small-spatial stages (dim 384 @32^2, dim 768 @16^2 at 512^2
             # input): the whole zero-padded image fits in VMEM, so the
