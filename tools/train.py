@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import json
 import os
 import sys
 import time
@@ -290,6 +291,17 @@ def main():
         return metrics_from_hist(jax.device_get(hist))
 
     best_miou, best_aacc = 0.0, 0.0
+    # best-so-far survives a kill+--resume (the TrainState checkpoint
+    # restores step/params/opt/rng bit-exactly; this sidecar restores the
+    # best-model tracking so a post-resume eval cannot silently demote
+    # an earlier best_model.npz)
+    best_json = os.path.join(save_path, "best.json")
+    if args.resume and os.path.exists(best_json):
+        with open(best_json) as f:
+            _b = json.load(f)
+        best_miou, best_aacc = _b["best_miou"], _b["best_aacc"]
+        logger.log(f"Restored best-so-far: mIoU={best_miou:.4f} "
+                   f"aAcc={best_aacc:.4f}")
     t0 = time.time()
     start_it = int(jax.device_get(state.step))
     train_loss, window = 0.0, 0
@@ -330,6 +342,9 @@ def main():
                         os.path.join(save_path, "best_model.stats.npz"),
                         host_state.batch_stats)
             best_aacc = max(best_aacc, m["aAcc"])
+            with open(best_json, "w") as f:
+                json.dump({"best_miou": best_miou,
+                           "best_aacc": best_aacc}, f)
 
     # ---- endgame; parity: train_rob_seg.py:426-454 ----
     from tabulate import tabulate
