@@ -284,48 +284,68 @@ def _bwd_kernel_whole(xp_ref, dy_ref, dw_ref, dwb_ref, ls_ref, lb_ref,
     dx_ref[0] = (dyb + acc).astype(dx_ref.dtype)
 
 
+def _pad8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
 def _block_whole_fwd_call(x, dw, dwb, ls, lb, w1, b1, w2, b2, gamma):
+    """Whole-image call; H/W are zero-padded up to sublane multiples (8).
+
+    Exact: pad tokens are inert — the 7x7 dwconv's zero pad rows ARE the
+    conv's own padding semantics for real tokens, and LN/MLP are
+    token-local so garbage pad tokens never touch real ones (profiled:
+    misaligned 30^2/15^2 spatials ran ~1.9x slower per pixel than padded
+    32^2/16^2)."""
     b, h, w, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hp, wp = _pad8(h), _pad8(w)
+    xp = jnp.pad(x, ((0, 0), (3, 3 + hp - h), (3, 3 + wp - w), (0, 0)))
     hid = w1.shape[1]
     vb = lambda r: _full1((1, r))                               # noqa: E731
     w1, w2 = _bf(w1), _bf(w2)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel_whole, h_real=h, w_real=w),
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_whole, h_real=hp, w_real=wp),
         grid=(b,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-        in_specs=[pl.BlockSpec((1, h + 6, w + 6, c), lambda bb: (bb, 0, 0, 0),
+        in_specs=[pl.BlockSpec((1, hp + 6, wp + 6, c),
+                               lambda bb: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
                   _full1((7, 7, c)), vb(c), vb(c), vb(c),
                   _full1((c, hid)), vb(hid), _full1((hid, c)), vb(c), vb(c)],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda bb: (bb, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, hp, wp, c), lambda bb: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), x.dtype),
     )(xp, dw, *_vecs(dwb, ls, lb), w1, *_vecs(b1), w2, *_vecs(b2, gamma))
+    return out[:, :h, :w]
 
 
 def _block_whole_bwd_call(x, dy, dw, dwb, ls, lb, w1, b1, w2, gamma):
     b, h, w, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hp, wp = _pad8(h), _pad8(w)
+    xp = jnp.pad(x, ((0, 0), (3, 3 + hp - h), (3, 3 + wp - w), (0, 0)))
+    # zero dy on pad tokens => their dyconv is zero => they contribute
+    # nothing to the 7x7 correlation: exact
+    dyp = jnp.pad(dy, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
     hid = w1.shape[1]
     vb = lambda r: _full1((1, r))                               # noqa: E731
     w1, w2 = _bf(w1), _bf(w2)
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel_whole, h_real=h, w_real=w),
+    dx = pl.pallas_call(
+        functools.partial(_bwd_kernel_whole, h_real=hp, w_real=wp),
         grid=(b,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-        in_specs=[pl.BlockSpec((1, h + 6, w + 6, c), lambda bb: (bb, 0, 0, 0),
+        in_specs=[pl.BlockSpec((1, hp + 6, wp + 6, c),
+                               lambda bb: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, h, w, c), lambda bb: (bb, 0, 0, 0),
+                  pl.BlockSpec((1, hp, wp, c), lambda bb: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
                   _full1((7, 7, c)), vb(c), vb(c), vb(c),
                   _full1((c, hid)), vb(hid), _full1((hid, c)), vb(c)],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda bb: (bb, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, hp, wp, c), lambda bb: (bb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
-    )(xp, dy, dw, *_vecs(dwb, ls, lb), w1, *_vecs(b1), w2, *_vecs(gamma))
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), x.dtype),
+    )(xp, dyp, dw, *_vecs(dwb, ls, lb), w1, *_vecs(b1), w2, *_vecs(gamma))
+    return dx[:, :h, :w]
 
 
 @jax.custom_vjp

@@ -85,11 +85,10 @@ class ConvNeXtBlock(nn.Module):
         if (use_fused and self.fused_mlp_mode == "block"
                 and self.dim > 192
                 and 8 <= x.shape[1] <= 48 and 8 <= x.shape[2] <= 48
-                # sublane-aligned spatials only: profiled ~1.9x slower
-                # per pixel at VOC geometry's 30^2/15^2 (vs 32^2/16^2),
-                # the entire --fused_attack regression at 473^2
-                and x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0
                 and not self.is_initializing()):
+            # the kernel zero-pads H/W to sublane multiples internally
+            # (exactly; pad tokens are inert) — profiled ~1.9x slower per
+            # pixel when fed misaligned 30^2/15^2 spatials directly
             # small-spatial stages (dim 384 @32^2, dim 768 @16^2 at 512^2
             # input): the whole zero-padded image fits in VMEM, so the
             # halo-free whole-image kernel applies — zero backward

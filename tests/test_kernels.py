@@ -472,7 +472,9 @@ class TestConvNeXtBlockWholeKernel:
             rng.normal(size=(4 * c, c)) * 0.05, rng.normal(size=c) * 0.1,
             rng.random(c))]
 
-    @pytest.mark.parametrize("c,hw", [(384, 12), (768, 8)])
+    # (384, 15) exercises the internal pad-to-sublane path (VOC geometry's
+    # stage-3 15x15; pad tokens must be exactly inert fwd AND bwd)
+    @pytest.mark.parametrize("c,hw", [(384, 12), (768, 8), (384, 15)])
     def test_fwd_and_input_grad_exact_with_f32_dots(self, rng, monkeypatch,
                                                     c, hw):
         from robseg_tpu.kernels import convnext_block as cb
