@@ -1,6 +1,6 @@
 """Benchmark: SEA attack throughput on UperNet-ConvNeXt-T_CVST (one chip).
 
-Metric: APGD attack step*images/sec/chip at 512x512, batch 8 — one fused
+Metric: APGD attack step*images/sec/chip at 512x512, batch 16 — one fused
 fwd + input-grad + step + projection per APGD iteration (the hot loop of
 ``semseg/attacker.py:385-569``; see SURVEY.md §3.2: the reference runs
 ~1800 model passes per image per SEA evaluation).

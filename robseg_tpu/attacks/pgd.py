@@ -72,12 +72,15 @@ TRAIN_ATTACK_LOSSES = {
 }
 
 
-@functools.partial(jax.jit, static_argnames=("logits_fn", "num_iter", "loss"))
-def pgd_attack(logits_fn: Callable, x: Array, y: Array, *,
-               eps: float = 4.0 / 255.0, alpha: float = 1e-2,
-               num_iter: int = 2, loss: str = "pgd") -> Array:
+def pgd_attack_body(logits_fn: Callable, x: Array, y: Array, *,
+                    eps: float = 4.0 / 255.0, alpha: float = 1e-2,
+                    num_iter: int = 2, loss: str = "pgd") -> Array:
     """``Pgd_Attack.adv_attack`` (``val.py:138-178``): no random start,
-    best-loss delta tracking; returns x_adv."""
+    best-loss delta tracking; returns x_adv.
+
+    Plain traceable function (no jit) so it can be inlined under
+    ``shard_map`` by the trainer; ``pgd_attack`` is its jitted wrapper.
+    """
     if loss == "segpgd-loss":
         loss_fn = lambda lg, yy, t: segpgd_loss(lg, yy, t, num_iter)  # noqa
     else:
@@ -111,6 +114,15 @@ def pgd_attack(logits_fn: Callable, x: Array, y: Array, *,
     (_, best_delta, _), _ = jax.lax.scan(step, init,
                                          jnp.arange(num_iter, dtype=jnp.float32))
     return jnp.clip(x + best_delta, 0.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("logits_fn", "num_iter", "loss"))
+def pgd_attack(logits_fn: Callable, x: Array, y: Array, *,
+               eps: float = 4.0 / 255.0, alpha: float = 1e-2,
+               num_iter: int = 2, loss: str = "pgd") -> Array:
+    """Jitted wrapper over :func:`pgd_attack_body`."""
+    return pgd_attack_body(logits_fn, x, y, eps=eps, alpha=alpha,
+                           num_iter=num_iter, loss=loss)
 
 
 @functools.partial(jax.jit, static_argnames=("logits_fn", "num_iter", "loss"))

@@ -168,10 +168,40 @@ def _eval_step(logits_fn, x, y, h, *, num_classes, ignore_label):
     return pred, h
 
 
+def _make_eval_step_fn(logits_fn: Callable, mesh, *, num_classes: int,
+                       ignore_label: int = -1, axis_name: str = "data"
+                       ) -> Callable:
+    """(x, y, hist) -> (pred, hist'): single-chip jit, or — with a mesh —
+    the same forward under ``shard_map`` over the batch axis so the clean
+    eval and the adversarial re-forward scale with the attack under
+    ``--shard`` (round-3 Weak #6: they previously stayed single-device).
+    The per-shard confusion-matrix increments are ``psum``-ed, so the
+    returned hist equals the unsharded one exactly.
+    """
+    if mesh is None:
+        return lambda x, y, h: _eval_step(logits_fn, x, y, h,
+                                          num_classes=num_classes,
+                                          ignore_label=ignore_label)
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def per_device(x, y, h):
+        pred = jnp.argmax(logits_fn(x), axis=-1).astype(jnp.int32)
+        pred = jnp.where(y == ignore_label, ignore_label, pred)
+        inc = confusion_matrix(pred, y, num_classes=num_classes,
+                               ignore_label=ignore_label)
+        return pred, h + jax.lax.psum(inc, axis_name)
+
+    sharded = shard_map(per_device, mesh=mesh,
+                        in_specs=(P(axis_name), P(axis_name), P()),
+                        out_specs=(P(axis_name), P()), check_vma=False)
+    return jax.jit(sharded)
+
+
 def eval_performance(logits_fn: Callable, batches: Iterable, *,
                      num_classes: int, ignore_label: int = -1,
                      n_batches: int = -1, batch_size: Optional[int] = None,
-                     return_preds: bool = True):
+                     return_preds: bool = True, mesh=None, eval_step=None):
     """Clean/adv evaluation returning stats + ignore-masked argmax preds.
 
     Parity: ``tools/infer.py:56-133`` (running confusion-matrix metrics;
@@ -181,18 +211,23 @@ def eval_performance(logits_fn: Callable, batches: Iterable, *,
 
     ``return_preds=False`` skips host-side pred accumulation (stats-only
     passes on full-val splits would otherwise hold ~1 GB of argmaxes).
+    ``mesh``: shard the forward over the batch axis (results identical);
+    ``eval_step``: reuse a step built by ``_make_eval_step_fn`` (avoids
+    per-call shard_map re-jits inside ``run_sea``).
     """
+    if eval_step is None:
+        eval_step = _make_eval_step_fn(logits_fn, mesh,
+                                       num_classes=num_classes,
+                                       ignore_label=ignore_label)
     hist = jnp.zeros((num_classes, num_classes), jnp.float32)
     preds_out: List[np.ndarray] = []
 
     for i, (x, y) in enumerate(batches):
         x, y = np.asarray(x), np.asarray(y)
         if batch_size is None:
-            batch_size = x.shape[0]
+            batch_size = _static_batch_size(x.shape[0], mesh)
         x, y, n_real = _pad_batch(x, y, batch_size)
-        pred, hist = _eval_step(logits_fn, jnp.asarray(x), jnp.asarray(y),
-                                hist, num_classes=num_classes,
-                                ignore_label=ignore_label)
+        pred, hist = eval_step(jnp.asarray(x), jnp.asarray(y), hist)
         if return_preds:
             preds_out.append(np.asarray(pred[:n_real]).astype(PRED_DTYPE))
         if i + 1 == n_batches:
@@ -251,7 +286,9 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
             losses: Sequence[str] = SEA_LOSSES, seed: int = 225,
             verbose: bool = False,
             resume_dir: Optional[str] = None, cache_tag: str = "",
-            mesh=None, wc_engine: str = "auto") -> Dict:
+            mesh=None, wc_engine: str = "auto", use_rs: bool = True,
+            early_stop: bool = True, track_loss: str = "ce-avg",
+            norm: str = "Linf") -> Dict:
     """Full SEA evaluation; parity ``tools/infer.py:313-403``.
 
     ``make_loader`` returns a fresh iterable of (images, labels) batches.
@@ -266,9 +303,15 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
     """
     import os
 
+    # one eval step reused for the clean pass and every per-loss
+    # re-forward; under --shard it runs shard_map'd over the mesh
+    # (round-3 Weak #6) with identical results
+    eval_step = _make_eval_step_fn(logits_fn, mesh,
+                                   num_classes=num_classes, ignore_label=-1)
     clean_stats, _ = eval_performance(
         logits_fn, make_loader(), num_classes=num_classes,
-        n_batches=n_batches, return_preds=False)
+        n_batches=n_batches, return_preds=False, mesh=mesh,
+        eval_step=eval_step)
     if verbose:
         print(f"Clean performance: {clean_stats.as_dict()}")
 
@@ -316,7 +359,8 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
         rng = jax.random.PRNGKey(seed + li)
         attack_fn = _make_attack_fn(
             logits_fn, mesh, eps=eps, n_iter=n_iter, loss=loss,
-            weights=w)
+            weights=w, use_rs=use_rs, early_stop=early_stop,
+            track_loss=track_loss, norm=norm)
         hist = jnp.zeros((num_classes, num_classes), jnp.float32)
         preds_l: List[np.ndarray] = []
         tgts_l: List[np.ndarray] = []
@@ -338,9 +382,7 @@ def run_sea(logits_fn: Callable, make_loader: Callable[[], Iterable], *,
             if verbose:
                 adv_np = np.asarray(x_adv)[:n_real]
                 print(f"batch {bi}: {check_imgs(adv_np, x, 'Linf')}")
-            pred, hist = _eval_step(logits_fn, x_adv, y_p, hist,
-                                    num_classes=num_classes,
-                                    ignore_label=-1)
+            pred, hist = eval_step(x_adv, y_p, hist)
             i_, u_ = per_image_intersect_union(pred, y_p,
                                                num_classes=num_classes)
             a_ = per_image_pixel_acc(pred, y_p)

@@ -40,7 +40,19 @@ def model_display_name(model_name: str, backbone: str) -> str:
 
 @dataclasses.dataclass
 class TrainSettings:
-    """Typed view over the TRAIN section with the reference's defaults."""
+    """Typed view over the TRAIN section with the reference's defaults.
+
+    Field consumption notes (no silent no-ops):
+      * ``freeze`` — wired (backbone update-masking, ``train/optim.py::
+        freeze_mask``); upstream parses it but never calls
+        ``freeze_some_layers``.
+      * ``ddp`` — informational only: JAX always runs data-parallel over
+        the mesh (``tools/train.py`` logs a note if set false with >1
+        device). Upstream gates torch DDP wrapping on it.
+      * ``eval_interval`` — dead in the reference too (present in every
+        config, read nowhere); kept for config-schema parity. Periodic
+        eval is governed by ``eval_freq``/``eval_batches``.
+    """
     base_size: int = 512
     image_size: tuple = (473, 473)
     batch_size: int = 16

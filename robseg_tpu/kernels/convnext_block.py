@@ -61,11 +61,19 @@ def _pick_th(h: int) -> int:
     119 rows -> th=17, 60 rows -> th=15), else 16 with masked padding.
 
     ``ROBSEG_BLOCK_TH`` (trace-time env var) overrides the choice for
-    tile-height experiments (tools/bench_train.py --block_th)."""
+    tile-height experiments (tools/bench_train.py --block_th). It is read
+    at TRACE time and jit caches do NOT key on env vars — set it before
+    the first trace of a given shape; changing it mid-process reuses the
+    stale compiled kernel (bench tools spawn a fresh process per value)."""
     import os
     override = os.environ.get("ROBSEG_BLOCK_TH")
     if override:
-        return max(6, int(override))
+        th = int(override)
+        if not 6 <= th <= 32:
+            raise ValueError(
+                f"ROBSEG_BLOCK_TH={th} out of range [6, 32] (backward band "
+                f"needs th >= 6; > 32 blows the VMEM budget)")
+        return th
     best = None
     for th in range(6, 33):
         if h % th == 0:

@@ -21,7 +21,6 @@ from __future__ import annotations
 import functools
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -86,42 +85,9 @@ def _apply_separable(x: Array, mh: np.ndarray, mw: np.ndarray) -> Array:
     return x
 
 
-def _upsample_axis_poly(x: Array, k: int, axis: int) -> Array:
-    """Integer-factor polyphase bilinear upsample along ``axis``
-    (align_corners=False) as shifts + FMAs — two-term lerps matching the
-    interpolation matrix to f32 rounding (~5e-7).
-
-    MEASURED NEGATIVE RESULT (kept for the record, not wired): routing
-    resize_bilinear through this dropped the attack rate 78.0 -> 64.2
-    step*imgs/s — the per-phase tensors, edge-clamp shift copies and the
-    stack materialization cost more HBM traffic than the einsum's MXU
-    matmuls. The shipped fix for the profiled 41 ms/iter resize cost is
-    context-default precision in ``_apply_separable`` instead.
-    """
-    axis = axis % x.ndim
-    # edge-clamped neighbours along axis
-    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
-    last = jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis],
-                                axis=axis)
-    xm1 = jnp.concatenate(
-        [first, jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
-        axis=axis)
-    xp1 = jnp.concatenate(
-        [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis), last],
-        axis=axis)
-    phases = []
-    for p in range(k):
-        d = (2 * p + 1 - k) / (2.0 * k)  # exact dyadic for k a power of 2
-        if d < 0:
-            ph = jnp.float32(-d) * xm1 + jnp.float32(1 + d) * x
-        elif d == 0:
-            ph = x
-        else:
-            ph = jnp.float32(1 - d) * x + jnp.float32(d) * xp1
-        phases.append(ph.astype(x.dtype))
-    y = jnp.stack(phases, axis=axis + 1)  # (..., in, k, ...)
-    return y.reshape(x.shape[:axis] + (k * x.shape[axis],)
-                     + x.shape[axis + 1:])
+# A polyphase shift+FMA upsample alternative was built and measured SLOWER
+# than the einsum path (78.0 -> 64.2 step*imgs/s) — negative result recorded
+# in BENCHMARKS.md ("polyphase upsample"); the code lived here until r4.
 
 
 def resize_bilinear(x: Array, out_hw, align_corners: bool = False) -> Array:

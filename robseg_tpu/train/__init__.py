@@ -1,8 +1,8 @@
 """Training: optimizers, schedules, sharded train/eval steps, checkpoints."""
 
 from robseg_tpu.train.optim import (  # noqa: F401
-    make_optimizer, decay_mask, layerwise_lr_scales, pspnet_lr_scales,
-    scale_by_leaf)
+    make_optimizer, decay_mask, freeze_mask, layerwise_lr_scales,
+    pspnet_lr_scales, scale_by_leaf)
 from robseg_tpu.train.schedules import (  # noqa: F401
     get_scheduler, warmup_poly_lr, warmup_cosine_lr, poly_lr,
     polynomial_lr_timm, poly_learning_rate)

@@ -64,6 +64,24 @@ def layerwise_lr_scales(params, *, decay_rate: float = 0.9,
         params)
 
 
+def freeze_mask(params, subtree: str = "backbone"):
+    """True where the parameter is FROZEN (no update applied).
+
+    Parity: ``freeze_some_layers(early=True)``
+    (``tools/train_rob_seg.py:147-155``) sets ``requires_grad = False`` on
+    every parameter under ``model.backbone`` — here the same subtree gets
+    its optimizer updates masked to zero (params stay bit-identical; see
+    ``make_optimizer(frozen_mask=...)``). Upstream parses ``TRAIN.FREEZE``
+    but never calls the method; we wire it for real.
+    """
+    if subtree not in params:
+        raise ValueError(
+            f"TRAIN.FREEZE: model has no {subtree!r} param subtree "
+            f"(top-level keys: {sorted(params)})")
+    return jax.tree_util.tree_map_with_path(
+        lambda p, leaf: _path_str(p).startswith(subtree), params)
+
+
 def pspnet_lr_scales(params):
     """Backbone params x1, new modules (ppm/cls/aux) x10.
 
@@ -89,11 +107,15 @@ def scale_by_leaf(scales) -> optax.GradientTransformation:
 
 def make_optimizer(name: str, params, schedule: Callable, *,
                    weight_decay: float = 0.01, momentum: float = 0.9,
-                   lr_scales=None) -> optax.GradientTransformation:
+                   lr_scales=None,
+                   frozen_mask=None) -> optax.GradientTransformation:
     """AdamW / SGD with decay masking and optional per-leaf lr scales.
 
     ``schedule``: step -> lr. torch semantics: update = lr_leaf *
     (adam_update + wd * param); the group lr multiplies the decay term too.
+    ``frozen_mask``: True-leaves get a zero update (TRAIN.FREEZE — see
+    :func:`freeze_mask`); applied last so weight decay cannot leak into
+    frozen parameters either.
     """
     mask = decay_mask(params)
     parts = []
@@ -109,4 +131,6 @@ def make_optimizer(name: str, params, schedule: Callable, *,
     if lr_scales is not None:
         parts.append(scale_by_leaf(lr_scales))
     parts.append(optax.scale_by_schedule(lambda step: -schedule(step)))
+    if frozen_mask is not None:
+        parts.append(optax.masked(optax.set_to_zero(), frozen_mask))
     return optax.chain(*parts)

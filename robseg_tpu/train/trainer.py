@@ -38,7 +38,7 @@ from jax import shard_map
 
 import optax
 
-from robseg_tpu.attacks.pgd import TRAIN_ATTACK_LOSSES
+from robseg_tpu.attacks.pgd import pgd_attack_body
 from robseg_tpu.ops.losses import segmentation_cross_entropy
 from robseg_tpu.ops.metrics import (confusion_matrix, iou_from_hist,
                                     f1_from_hist, pixel_acc_from_hist)
@@ -62,44 +62,6 @@ class AttackConfig:
     eps: float = 4.0 / 255.0   # TRAIN.EPS / 255
     n_iters: int = 5           # TRAIN.N_ITERS
     alpha: float = 1e-2
-
-
-def _pgd_inline(logits_fn, x, y, *, eps, alpha, num_iter, loss):
-    """``Pgd_Attack.adv_attack`` body, traceable inside shard_map
-    (mirrors ``robseg_tpu.attacks.pgd.pgd_attack`` without the jit)."""
-    if loss == "segpgd-loss":
-        from robseg_tpu.attacks.pgd import segpgd_loss
-        loss_fn = lambda lg, yy, t: segpgd_loss(lg, yy, t, num_iter)  # noqa
-    else:
-        base = TRAIN_ATTACK_LOSSES[loss]
-        loss_fn = lambda lg, yy, t: base(lg, yy)  # noqa: E731
-    bs = x.shape[0]
-    ndims = x.ndim - 1
-
-    def step(carry, t):
-        delta, best_delta, running_best = carry
-
-        def f(d):
-            logits = logits_fn(jnp.clip(x + d, 0.0, 1.0))
-            per_img = loss_fn(logits, y, t)
-            return jnp.sum(per_img), per_img
-
-        (_, per_img), g = jax.value_and_grad(f, has_aux=True)(delta)
-        per_img = jnp.broadcast_to(per_img, (bs,))
-        ind = per_img >= running_best
-        running_best = jnp.where(ind, per_img, running_best)
-        delta = delta + alpha * jnp.sign(g)
-        delta = jnp.clip(x + delta, 0.0, 1.0) - x
-        delta = jnp.clip(delta, -eps, eps)
-        ind_b = ind.reshape((bs,) + (1,) * ndims).astype(x.dtype)
-        best_delta = ind_b * delta + (1 - ind_b) * best_delta
-        return (delta, best_delta, running_best), None
-
-    init = (jnp.zeros_like(x), jnp.zeros_like(x),
-            jnp.zeros((bs,), jnp.float32))
-    (_, best_delta, _), _ = jax.lax.scan(
-        step, init, jnp.arange(num_iter, dtype=jnp.float32))
-    return jnp.clip(x + best_delta, 0.0, 1.0)
 
 
 def make_loss_fn(module, model_name: str) -> Callable:
@@ -176,10 +138,12 @@ def make_train_step(module, model_name: str,
                                 use_rs=True, loss="ce-avg",
                                 rng=rng_attack).x_best
             else:
-                x = _pgd_inline(lf, images, labels, eps=attack.eps,
-                                alpha=attack.alpha,
-                                num_iter=attack.n_iters,
-                                loss=attack.loss_fn)
+                # the un-jitted traceable body inlines under shard_map
+                # (its jitted wrapper pgd_attack cannot be called here)
+                x = pgd_attack_body(lf, images, labels, eps=attack.eps,
+                                    alpha=attack.alpha,
+                                    num_iter=attack.n_iters,
+                                    loss=attack.loss_fn)
             x = jax.lax.stop_gradient(x)
 
         rngs = {"dropout": rng_drop, "droppath": rng_dp}

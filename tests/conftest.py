@@ -103,15 +103,31 @@ def pytest_runtest_protocol(item, nextitem):
         rc = -1
         out = (f"ISOLATED TEST TIMED OUT after 1700s\n"
                f"{(e.stdout or b'').decode(errors='replace')[-4000:]}")
-    outcome = "passed" if rc == 0 else "failed"
-    longrepr = None if rc == 0 else (
-        f"isolated subprocess exited rc={rc}\n--- child output ---\n"
-        + out[-6000:])
-    rep = TestReport(nodeid=item.nodeid, location=item.location,
-                     keywords={item.name: 1}, outcome=outcome,
-                     longrepr=longrepr, when="call",
-                     sections=[], duration=time.time() - t0,
-                     user_properties=[])
-    hook.pytest_runtest_logreport(report=rep)
+    # distinguish a child that SKIPPED from one that passed (rc==0 both
+    # ways): parse pytest's summary line for "N skipped" with no passes
+    import re
+    skipped = bool(re.search(r"\b[1-9]\d* skipped\b", out)) and not \
+        re.search(r"\b[1-9]\d* passed\b", out)
+    if rc == 0 and skipped:
+        outcome, longrepr = "skipped", (
+            str(item.fspath), item.location[1] or 0,
+            "skipped in isolated child (see child output)")
+    elif rc == 0:
+        outcome, longrepr = "passed", None
+    else:
+        outcome = "failed"
+        longrepr = (f"isolated subprocess exited rc={rc}\n"
+                    f"--- child output ---\n" + out[-6000:])
+    # emit the full setup/call/teardown report triple so reporting
+    # plugins see a well-formed protocol for the isolated test
+    for when in ("setup", "call", "teardown"):
+        rep = TestReport(
+            nodeid=item.nodeid, location=item.location,
+            keywords={item.name: 1},
+            outcome=outcome if when == "call" else "passed",
+            longrepr=longrepr if when == "call" else None, when=when,
+            sections=[], duration=time.time() - t0 if when == "call" else 0.0,
+            user_properties=[])
+        hook.pytest_runtest_logreport(report=rep)
     hook.pytest_runtest_logfinish(nodeid=item.nodeid, location=item.location)
     return True

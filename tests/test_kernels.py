@@ -493,19 +493,51 @@ class TestConvNeXtBlockWholeKernel:
         np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
                                    atol=5e-5, rtol=1e-4)
 
-    def test_backbone_block_mode_uses_whole_kernel_small_stages(self, rng):
-        """In block mode stages 2-3 (dims 384/768 at <=48^2 spatial) now
-        route through the whole-image kernel; outputs stay in the bf16
-        deviation class of the default backbone."""
+    def test_backbone_block_mode_uses_whole_kernel_small_stages(
+            self, rng, monkeypatch):
+        """In block mode stages 2-3 (dims 384/768 at 8<=spatial<=48) route
+        through the whole-image kernel; outputs stay in the bf16 deviation
+        class of the default backbone.
+
+        Non-vacuous by construction (round-3 advisor finding): a 256^2
+        input puts stage 2 at 16^2 and stage 3 at 8^2 — both inside the
+        gate in models/convnext.py — and the kernel entry points are
+        REPLACED by counted exact-reference implementations, so the
+        production routing, gating AND raw-param unpacking are asserted
+        (a 256^2 interpret-mode Pallas run of the full backbone takes
+        >10 min on this host; the kernels' own numerics at exactly these
+        dims/spatials are covered by the interpret-mode tests above).
+        """
         from robseg_tpu import models
-        x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+        from robseg_tpu.kernels import convnext_block as cb
+        calls = {"whole": 0, "tiled": 0}
+
+        def counted_whole(x, *a, **k):
+            calls["whole"] += 1
+            assert 8 <= x.shape[1] <= 48 and x.shape[-1] > 192, x.shape
+            return cb.convnext_block_reference(x, *a, **k)
+
+        def counted_tiled(x, *a, **k):
+            calls["tiled"] += 1
+            assert x.shape[-1] <= 192, x.shape
+            return cb.convnext_block_reference(x, *a, **k)
+
+        monkeypatch.setattr(cb, "convnext_block_fused_whole_shared",
+                            counted_whole)
+        monkeypatch.setattr(cb, "convnext_block_fused_shared", counted_tiled)
+        x = jnp.asarray(rng.random((1, 256, 256, 3)).astype(np.float32))
         m0 = models.ConvNeXt("T_CVST")
         m1 = models.ConvNeXt("T_CVST", fused_mlp=True,
                              fused_mlp_mode="block")
         v = jax.jit(m0.init)(jax.random.PRNGKey(0), x)
-        want = m0.apply(v, x)
-        with pltpu.force_tpu_interpret_mode():
-            got = m1.apply(v, x)
+        want = jax.jit(m0.apply)(v, x)
+        got = jax.jit(m1.apply)(v, x)
+        # ConvNeXt-T depths (3,3,9,3): 9 blocks in stage 2 (dim 384 @16^2)
+        # + 3 in stage 3 (dim 768 @8^2) route to the whole-image kernel;
+        # 3+3 blocks in stages 0-1 (dims 96/192) route to the tiled kernel
+        assert calls["whole"] == 12, calls
+        assert calls["tiled"] == 6, calls
+        # reference impl is exact modulo the fused paths' op ordering
         for a, b in zip(want, got):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                       atol=5e-2, rtol=5e-2)
+                                       atol=1e-4, rtol=1e-4)

@@ -219,3 +219,114 @@ class TestResize:
         ref = F.adaptive_avg_pool2d(
             torch.from_numpy(np.moveaxis(x, -1, 1).copy()), bins).numpy()
         np.testing.assert_allclose(ours, np.moveaxis(ref, 1, -1), atol=1e-5)
+
+
+class TestLegacyAttackLosses:
+    """Direct torch differentials for the shipped-but-untested losses
+    (round-3 Weak #2): dlr/dlr_targeted/margin (``attacker.py:123-184``)."""
+
+    def test_dlr_loss_matches_torch(self, rng):
+        # classification-shaped (B, C): the reference's only usage shape
+        x = rng.normal(size=(8, 6)).astype(np.float32)
+        y = rng.integers(0, 6, size=(8,)).astype(np.int64)
+        tx, ty = torch.from_numpy(x), torch.from_numpy(y)
+        x_sorted, ind_sorted = tx.sort(dim=1)
+        ind = (ind_sorted[:, -1] == ty).float()
+        want = -(tx[torch.arange(8), ty] - x_sorted[:, -2] * ind
+                 - x_sorted[:, -1] * (1.0 - ind)) / (
+            x_sorted[:, -1] - x_sorted[:, -3] + 1e-12)
+        got = ops.dlr_loss(jnp.asarray(x), jnp.asarray(y.astype(np.int32)))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_dlr_loss_targeted_matches_torch(self, rng):
+        from robseg_tpu.ops.losses import dlr_loss_targeted
+        x = rng.normal(size=(8, 6)).astype(np.float32)
+        y = rng.integers(0, 6, size=(8,)).astype(np.int64)
+        yt = (y + 1 + rng.integers(0, 5, size=(8,))) % 6
+        tx, ty, tt = (torch.from_numpy(a) for a in (x, y, yt))
+        x_sorted, _ = tx.sort(dim=1)
+        u = torch.arange(8)
+        want = -(tx[u, ty] - tx[u, tt]) / (
+            x_sorted[:, -1] - 0.5 * (x_sorted[:, -3] + x_sorted[:, -4])
+            + 1e-12)
+        got = dlr_loss_targeted(jnp.asarray(x),
+                                jnp.asarray(y.astype(np.int32)),
+                                jnp.asarray(yt.astype(np.int32)))
+        np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_margin_loss_matches_torch(self, rng):
+        # segmentation-shaped; no ignore pixels (the reference's F.one_hot
+        # would reject negatives — train labels are all valid)
+        logits, labels = _rand_logits_labels(rng, ignore_frac=0.0)
+        pred = _torch_logits(logits)
+        target = torch.from_numpy(labels.astype(np.int64))
+        sh = target.shape
+        n_cls = pred.shape[1]
+        yh = F.one_hot(target.view(sh[0], -1), n_cls)
+        yh = yh.permute(0, 2, 1).view(pred.shape).float()
+        logits_target = (yh * pred).sum(1)
+        logits_other = (pred - 1e10 * yh).max(1)[0]
+        want = (logits_other - logits_target).numpy()
+        got = ops.margin_loss(jnp.asarray(logits), jnp.asarray(labels))
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestContrastive:
+    """``ops/contrastive.py`` vs torch transcriptions of ``val.py:259-326``
+    (dead upstream code, shipped here as research utilities)."""
+
+    def _torch_nt_xent(self, ei, ej, temperature=1.0):
+        # transcription of ContrastiveLoss.forward (val.py:269-297)
+        b = ei.shape[0]
+        z_i = F.normalize(ei.flatten(start_dim=1), dim=1)
+        z_j = F.normalize(ej.flatten(start_dim=1), dim=1)
+        reps = torch.cat([z_i, z_j], dim=0)
+        sim = F.cosine_similarity(reps.unsqueeze(1), reps.unsqueeze(0), dim=2)
+        positives = torch.cat([torch.diag(sim, b), torch.diag(sim, -b)])
+        neg_mask = (~torch.eye(2 * b, 2 * b, dtype=bool)).float()
+        nominator = torch.exp(positives / temperature)
+        denominator = neg_mask * torch.exp(sim / temperature)
+        return (-torch.log(nominator / denominator.sum(dim=1))).sum() / (2 * b)
+
+    def test_nt_xent_matches_torch(self, rng):
+        from robseg_tpu.ops.contrastive import nt_xent_loss
+        ei = rng.normal(size=(4, 3, 5)).astype(np.float32)
+        ej = rng.normal(size=(4, 3, 5)).astype(np.float32)
+        want = self._torch_nt_xent(torch.from_numpy(ei),
+                                   torch.from_numpy(ej), 0.7)
+        got = nt_xent_loss(jnp.asarray(ei), jnp.asarray(ej), temperature=0.7)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+    def _torch_ce_unsup(self, out, targets, reduction="mean",
+                        targeted=False, alpha=0.0):
+        # transcription of ce_unsup (val.py:300-326)
+        out = out.flatten(start_dim=1)
+        targets = targets.flatten(start_dim=1)
+        preds = out @ targets.T
+        labels = torch.arange(out.shape[0])
+        if targeted:
+            if alpha == 0.0:
+                labels = (labels + 1) % out.shape[0]
+            else:
+                labels = torch.argmax(
+                    preds - 10 * torch.diag(preds.diag()), dim=1)
+        loss = F.cross_entropy(preds, labels, reduction=reduction)
+        return -loss if targeted else loss
+
+    @pytest.mark.parametrize("targeted,alpha", [(False, 0.0), (True, 0.0),
+                                                (True, 1.0)])
+    @pytest.mark.parametrize("reduction", ["mean", "none"])
+    def test_ce_unsup_matches_torch(self, rng, targeted, alpha, reduction):
+        from robseg_tpu.ops.contrastive import ce_unsup
+        out = rng.normal(size=(5, 7)).astype(np.float32)
+        tgt = rng.normal(size=(5, 7)).astype(np.float32)
+        want = self._torch_ce_unsup(torch.from_numpy(out),
+                                    torch.from_numpy(tgt), reduction,
+                                    targeted, alpha).numpy()
+        got = ce_unsup(jnp.asarray(out), jnp.asarray(tgt),
+                       reduction=reduction, targeted=targeted, alpha=alpha)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=1e-5, atol=1e-6)

@@ -228,6 +228,21 @@ class TestShardedSEA:
             np.testing.assert_allclose(pa, sa, atol=1e-6)
             np.testing.assert_array_equal(py_, sy)
 
+    def test_sharded_eval_step_matches_unsharded(self, rng):
+        """Round-3 Weak #6: under --shard the clean-eval pass / adversarial
+        re-forward now run shard_map'd too — hist and preds must match the
+        single-device path exactly (the psum'd confusion matrix is a sum of
+        integer counts; no float reassociation)."""
+        from robseg_tpu.parallel import make_data_mesh
+        fn = _model(rng)
+        data = _batches(rng, n=2, bs=3)  # non-divisible: pads 3 -> 8
+        plain_stats, plain_preds = eval_performance(
+            fn, iter(data), num_classes=C)
+        shard_stats, shard_preds = eval_performance(
+            fn, iter(data), num_classes=C, mesh=make_data_mesh())
+        assert plain_stats.as_dict() == shard_stats.as_dict()
+        np.testing.assert_array_equal(plain_preds, shard_preds)
+
     def test_run_sea_sharded_matches_unsharded(self, rng):
         from robseg_tpu.parallel import make_data_mesh
         fn = _model(rng)

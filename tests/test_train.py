@@ -73,6 +73,57 @@ class TestOptim:
         np.testing.assert_allclose(np.asarray(new["w"]["kernel"]),
                                    tp.detach().numpy(), atol=1e-6)
 
+    def test_pspnet_lr_scales_groups(self):
+        """The x10 set must be exactly {ppm, cls, aux} on the REAL PSPNet
+        param tree (parity: modules_new in train_rob_seg.py:185-204 and the
+        5-vs-rest lr split at :356-361). A new top-level module sneaking in
+        would silently train at x10 — assert the key set exhaustively."""
+        from robseg_tpu.train import pspnet_lr_scales
+        m = models.PSPNet(classes=5)
+        x = jnp.zeros((1, 33, 33, 3))
+        y = jnp.zeros((1, 33, 33), jnp.int32)
+        params = m.init(jax.random.PRNGKey(0), x, labels=y)["params"]
+        assert set(params) == {"backbone", "ppm", "cls", "aux"}, set(params)
+        scales = pspnet_lr_scales(params)
+        for leaf in jax.tree.leaves(scales["backbone"]):
+            assert leaf == 1.0
+        for mod in ("ppm", "cls", "aux"):
+            for leaf in jax.tree.leaves(scales[mod]):
+                assert leaf == 10.0
+
+    def test_freeze_mask_zeroes_backbone_updates(self):
+        """TRAIN.FREEZE (freeze_some_layers(early=True) semantics,
+        train_rob_seg.py:147-155): frozen leaves are BIT-unchanged after an
+        optimizer step — weight decay must not leak in either."""
+        from robseg_tpu.train import freeze_mask
+        params = {
+            "backbone": {"conv": {"kernel": jnp.ones((3, 3, 4, 8)),
+                                  "bias": jnp.ones((8,))}},
+            "head": {"kernel": jnp.ones((1, 1, 8, 5))},
+        }
+        mask = freeze_mask(params)
+        assert mask["backbone"]["conv"]["kernel"] is True
+        assert mask["head"]["kernel"] is False
+        tx = make_optimizer("AdamW", params, lambda s: 1e-2,
+                            weight_decay=0.05, frozen_mask=mask)
+        st = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        upd, st = tx.update(grads, st, params)
+        new = optax.apply_updates(params, upd)
+        # frozen: bit-identical; live: moved
+        np.testing.assert_array_equal(
+            np.asarray(new["backbone"]["conv"]["kernel"]),
+            np.asarray(params["backbone"]["conv"]["kernel"]))
+        np.testing.assert_array_equal(
+            np.asarray(new["backbone"]["conv"]["bias"]),
+            np.asarray(params["backbone"]["conv"]["bias"]))
+        assert float(np.abs(np.asarray(new["head"]["kernel"])
+                            - np.asarray(params["head"]["kernel"])).max()) > 0
+
+        # a model without a backbone subtree rejects loudly
+        with pytest.raises(ValueError, match="no 'backbone'"):
+            freeze_mask({"encoder": {"kernel": jnp.ones((2, 2))}})
+
     def test_layerwise_scales(self):
         params = {
             "backbone": {

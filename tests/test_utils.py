@@ -61,6 +61,47 @@ class TestVisualize:
     def test_generate_palette_deterministic(self):
         np.testing.assert_array_equal(generate_palette(30), generate_palette(30))
 
+    def _reference_tables(self):
+        """Extract colors_ade/colors_voc literals straight from the
+        reference source (ast — avoids importing its torch/dataset deps)."""
+        import ast
+        src = open("/root/reference/semseg/utils/visualize.py").read()
+        out = {}
+        for node in ast.parse(src).body:
+            if (isinstance(node, ast.Assign)
+                    and isinstance(node.targets[0], ast.Name)
+                    and node.targets[0].id in ("colors_ade", "colors_voc")):
+                out[node.targets[0].id] = np.array(
+                    ast.literal_eval(node.value), np.uint8)
+        return out
+
+    def test_palettes_match_reference_tables(self):
+        """ADE renders must be byte-identical to the reference's
+        (``visualize.py:43-218``); VOC's literal table equals the
+        bit-reversal construction."""
+        from robseg_tpu.utils.visualize import ADE_PALETTE
+        ref = self._reference_tables()
+        np.testing.assert_array_equal(ADE_PALETTE, ref["colors_ade"])
+        np.testing.assert_array_equal(voc_palette(21), ref["colors_voc"])
+        np.testing.assert_array_equal(generate_palette(150),
+                                      ref["colors_ade"])
+        # background=True: black + first n-1 colors (visualize.py:224-228)
+        pb = generate_palette(150, background=True)
+        np.testing.assert_array_equal(pb[0], [0, 0, 0])
+        np.testing.assert_array_equal(pb[1:], ref["colors_ade"][:149])
+
+    def test_draw_text_annotates_segments(self, rng):
+        """Parity ``visualize.py:233-256``: white label boxes appear at
+        segment medians (default-font fallback; Helvetica ttf is absent
+        upstream too)."""
+        from robseg_tpu.utils.visualize import draw_text
+        img = np.zeros((48, 48, 3), np.uint8)
+        seg = np.zeros((48, 48), np.int64)
+        seg[24:, 24:] = 2
+        out = np.asarray(draw_text(img, seg, [f"class{i}" for i in range(5)]))
+        assert out.shape == (48, 48, 3)
+        assert (out == 255).any()  # label background rectangles drawn
+
 
 class TestPrefetch:
     def test_order_preserved(self):

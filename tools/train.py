@@ -41,12 +41,14 @@ from robseg_tpu.train.schedules import polynomial_lr_timm, poly_lr
 from robseg_tpu.utils import Logger
 
 
-def build_optimizer(cfg, model_name, params, max_iters, iters_per_epoch):
+def build_optimizer(cfg, model_name, params, max_iters, iters_per_epoch,
+                    frozen_mask=None):
     """Per-model-family optimizer/scheduler selection.
 
     Parity: ``train_rob_seg.py:174-224`` — Segmenter: timm SGD + polynomial
     (``optim_args_segmenter``); PSPNet: SGD + raw poly with new-module lr
-    x10; UperNet: AdamW/SGD + config scheduler.
+    x10; UperNet: AdamW/SGD + config scheduler. ``frozen_mask`` implements
+    TRAIN.FREEZE (``freeze_some_layers(early=True)`` semantics).
     """
     opt_cfg, sched_cfg = cfg["OPTIMIZER"], cfg["SCHEDULER"]
     lr = float(opt_cfg["LR"])
@@ -54,18 +56,20 @@ def build_optimizer(cfg, model_name, params, max_iters, iters_per_epoch):
     if model_name == "SegMenter":
         sched = polynomial_lr_timm(1e-3, max_iters, power=0.9,
                                    iter_warmup=0, min_lr=1e-5)
-        return make_optimizer("sgd", params, sched, weight_decay=1e-5), sched
+        return make_optimizer("sgd", params, sched, weight_decay=1e-5,
+                              frozen_mask=frozen_mask), sched
     if model_name == "PSPNet":
         sched = poly_lr(lr, max_iters, power=0.9)
         scales = pspnet_lr_scales(params)
         return make_optimizer("sgd", params, sched, weight_decay=wd,
-                              lr_scales=scales), sched
+                              lr_scales=scales,
+                              frozen_mask=frozen_mask), sched
     sched = get_scheduler(
         sched_cfg["NAME"], lr, max_iters, sched_cfg.get("POWER", 0.9),
         iters_per_epoch * sched_cfg.get("WARMUP", 5),
         sched_cfg.get("WARMUP_RATIO", 1e-5))
     return make_optimizer(opt_cfg.get("NAME", "AdamW"), params, sched,
-                          weight_decay=wd), sched
+                          weight_decay=wd, frozen_mask=frozen_mask), sched
 
 
 def main():
@@ -200,8 +204,21 @@ def main():
         logger.log(f"PIR init ({model_name}): loaded robust weights "
                    f"from {pretrained}")
 
+    frozen = None
+    if t.freeze:
+        # TRAIN.FREEZE: backbone frozen, head trains (freeze_some_layers
+        # early=True, train_rob_seg.py:147-155 — parsed upstream but never
+        # invoked; wired for real here). Models without a "backbone"
+        # subtree (SegMenter) reject loudly inside freeze_mask.
+        from robseg_tpu.train import freeze_mask
+        frozen = freeze_mask(params)
+        logger.log("TRAIN.FREEZE: backbone parameters frozen "
+                   "(zero-masked optimizer updates)")
+    if not t.ddp and n_dev > 1:
+        logger.log(f"note: TRAIN.DDP=false is ignored — JAX always runs "
+                   f"data-parallel over all {n_dev} visible devices")
     tx, sched = build_optimizer(cfg, model_name, params, max_iters,
-                                iters_per_epoch)
+                                iters_per_epoch, frozen_mask=frozen)
     state = TrainState(step=jnp.asarray(0), params=params,
                        batch_stats=batch_stats, opt_state=tx.init(params),
                        rng=jax.random.PRNGKey(dataset_cfg.get("SEED", 0)))
@@ -274,15 +291,20 @@ def main():
             num_hosts=jax.process_count(),
             host_id=jax.process_index()), depth=2)
 
+    # k*n_dev images per eval dispatch (round-3 Weak #5: at 1 img/device
+    # the endgame full-val eval was tunnel-dispatch-bound — ~20-25 ms
+    # latency per batch-1 call dominates a 473^2 forward)
+    eval_bs = per_dev * n_dev
+
     def run_eval(state, n_batches=None):
         if n_batches is None:
             n_batches = t.eval_batches
         hist = replicate(mesh, jnp.zeros((n_cls, n_cls), jnp.float32))
-        for x, y in simple_eval_loader(val_ds, n_dev, n_batches):
-            if x.shape[0] != n_dev:
+        for x, y in simple_eval_loader(val_ds, eval_bs, n_batches):
+            if x.shape[0] != eval_bs:
                 # pad the tail batch; padded rows get all-ignore labels so
                 # they contribute nothing to the confusion matrix
-                reps = n_dev - x.shape[0]
+                reps = eval_bs - x.shape[0]
                 x = np.concatenate([x, np.repeat(x[-1:], reps, axis=0)])
                 y = np.concatenate(
                     [y, np.full((reps,) + y.shape[1:], -1, y.dtype)])
