@@ -44,6 +44,11 @@ def main():
                     help="also print XLA cost_analysis bytes/flops per "
                          "segment + the max(bytes/819GB/s, flops/179TF/s) "
                          "per-segment ceiling")
+    ap.add_argument("--no-timing", action="store_true",
+                    help="skip the chained timing (each chain is a large "
+                         "fresh compile through the tunnel); with --cost "
+                         "this gives the bytes/flops/ceiling table from "
+                         "three small single-call compiles only")
     args = ap.parse_args()
 
     import jax
@@ -150,9 +155,13 @@ def main():
                 ("full_fwd_input_grad", full_grad, x)):
             if name not in sel:
                 continue
-            ms = t(fn, a0)
-            res[f"{mode}_{name}_ms"] = round(ms, 1)
-            line = f"{mode:8s} {name}: {ms:.1f} ms"
+            if args.no_timing:
+                ms = float("nan")
+                line = f"{mode:8s} {name}: (timing skipped)"
+            else:
+                ms = t(fn, a0)
+                res[f"{mode}_{name}_ms"] = round(ms, 1)
+                line = f"{mode:8s} {name}: {ms:.1f} ms"
             if args.cost:
                 # XLA-counted bytes/flops of ONE segment invocation ->
                 # per-segment composite ceiling max(bytes/BW, flops/peak)
