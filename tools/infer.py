@@ -70,6 +70,12 @@ def main():
                         choices=["default", "bf16", "f32"],
                         help="matmul/conv precision: bf16 = fastest (MXU "
                              "native), f32 = reference parity")
+    parser.add_argument("--cleanup", action="store_true",
+                        help="delete the argmax-logs resume cache after a "
+                             "completed sweep (parity: the reference driver "
+                             "removes test_results/argmax-logs at exit, "
+                             "infer.py:231,410-414; we default to KEEPING "
+                             "the cache so interrupted sweeps can resume)")
     parser.add_argument("--wc_engine", type=str, default="auto",
                         choices=["auto", "native", "python", "reference",
                                  "reference-python"],
@@ -222,6 +228,17 @@ def main():
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2, default=float)
         logger.log(f"SEA statistics at: {out_path}")
+
+    if args.cleanup:
+        # every eps in the sweep completed — drop the per-batch argmax
+        # resume cache (the final JSON reports above are kept); parity:
+        # reference infer.py:231,410-414 (shutil.rmtree of the logit/
+        # argmax scratch dirs at the end of a successful run)
+        import shutil
+        cache_dir = os.path.join(save_dir, "argmax-logs")
+        if os.path.isdir(cache_dir):
+            shutil.rmtree(cache_dir)
+            logger.log(f"--cleanup: removed resume cache {cache_dir}")
 
 
 if __name__ == "__main__":
