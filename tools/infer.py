@@ -72,10 +72,12 @@ def main():
                              "native), f32 = reference parity")
     parser.add_argument("--cleanup", action="store_true",
                         help="delete the argmax-logs resume cache after a "
-                             "completed sweep (parity: the reference driver "
-                             "removes test_results/argmax-logs at exit, "
-                             "infer.py:231,410-414; we default to KEEPING "
-                             "the cache so interrupted sweeps can resume)")
+                             "completed sweep (the reference's own "
+                             "--cleanup is an int DEFAULTING TO 1, so it "
+                             "deletes test_results/argmax-logs at exit "
+                             "unless passed 0, infer.py:242,410-414; we "
+                             "flip the default and KEEP the cache so "
+                             "interrupted sweeps can resume)")
     parser.add_argument("--wc_engine", type=str, default="auto",
                         choices=["auto", "native", "python", "reference",
                                  "reference-python"],
@@ -164,6 +166,21 @@ def main():
     os.makedirs(save_dir, exist_ok=True)
     logger = Logger(os.path.join(save_dir, "sea_eval_log.txt"))
 
+    def cleanup_cache():
+        # drop the per-batch argmax resume cache (final JSON reports are
+        # kept); parity: reference infer.py:242,410-414 (--cleanup int,
+        # default 1: shutil.rmtree of the logit/argmax scratch dirs at the
+        # end of a successful run). Also reachable from the clean-eval /
+        # --msf paths so a stale cache from a prior adversarial run can be
+        # cleared without re-running an attack (ADVICE r4).
+        if not args.cleanup:
+            return
+        import shutil
+        cache_dir = os.path.join(save_dir, "argmax-logs")
+        if os.path.isdir(cache_dir):
+            shutil.rmtree(cache_dir)
+            logger.log(f"--cleanup: removed resume cache {cache_dir}")
+
     modelname = model_display_name(cfg["MODEL"]["NAME"],
                                    test_cfg.get("BACKBONE", ""))
     eps_list = [float(e) for e in str(args.eps).split(",")]
@@ -182,11 +199,13 @@ def main():
                                         num_classes=n_cls,
                                         n_batches=args.n_batches)
             logger.log(f"MSF clean performance: {stats.as_dict()}")
+            cleanup_cache()
             return
         stats, _ = eval_performance(logits_fn, make_loader(),
                                     num_classes=n_cls,
                                     n_batches=args.n_batches)
         logger.log(f"Clean performance: {stats.as_dict()}")
+        cleanup_cache()
         return
 
     stats_dir = os.path.join(save_dir, "sea-stats")
@@ -229,16 +248,8 @@ def main():
             json.dump(results, f, indent=2, default=float)
         logger.log(f"SEA statistics at: {out_path}")
 
-    if args.cleanup:
-        # every eps in the sweep completed — drop the per-batch argmax
-        # resume cache (the final JSON reports above are kept); parity:
-        # reference infer.py:231,410-414 (shutil.rmtree of the logit/
-        # argmax scratch dirs at the end of a successful run)
-        import shutil
-        cache_dir = os.path.join(save_dir, "argmax-logs")
-        if os.path.isdir(cache_dir):
-            shutil.rmtree(cache_dir)
-            logger.log(f"--cleanup: removed resume cache {cache_dir}")
+    # every eps in the sweep completed — safe to drop the resume cache
+    cleanup_cache()
 
 
 if __name__ == "__main__":
