@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--fused", action="store_true", default=True)
     ap.add_argument("--trace", default=None,
                     help="directory for a jax.profiler trace of one n_hi run")
+    ap.add_argument("--flat", action="store_true",
+                    help="carry the APGD state as (B, H*W*C) — layout "
+                         "experiment, see round-5 BENCHMARKS notes")
     ap.add_argument("--bf16_carry", action="store_true",
                     help="with --precision bf16: feed x as bf16 so every "
                          "APGD carry buffer (x_adv, x_best, grads, ...) is "
@@ -77,6 +80,16 @@ def main():
                 v16, xx.astype(jnp.bfloat16)).astype(jnp.float32)
     else:
         logits_fn = lambda xx: module.apply(variables, xx)  # noqa: E731
+
+    if args.flat:
+        # EXPERIMENT: carry the APGD state flat (B, H*W*C). Every image-
+        # shaped carry tensor at bs16 puts the batch in the 128-lane dim
+        # (8x padding waste, round-5 trace); a flat carry tiles perfectly
+        # and the only layout bridge is one reshape per fwd/bwd.
+        inner = logits_fn
+        logits_fn = lambda xf: inner(  # noqa: E731
+            xf.reshape(batch, hw, hw, 3))
+        x = x.reshape(batch, -1)
 
     def force(a):
         return float(np.asarray(a).ravel()[0])
