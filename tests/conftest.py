@@ -39,16 +39,30 @@ def rng():
 # futex wait for 40+ min with all threads idle, silently eating the run.
 # Re-arm a faulthandler watchdog per test: if any single test exceeds the
 # limit, dump EVERY thread's stack to stderr and hard-exit — a loud,
-# diagnosable abort instead of a silent infinite hang. The limit is far
-# above the slowest legitimate test (~5 min when the TPU tunnel hogs the
-# core); only a true wedge trips it.
+# diagnosable abort instead of a silent infinite hang. Round-5 lesson: the
+# limit must track the HOST, not the test — on a 1-core box the f64 CPU
+# compile inside test_reference_sea_pipeline_diff legitimately exceeds the
+# old 1500 s (XLA constant-folds the f64 head weights single-threaded),
+# and the watchdog's hard-exit looked like a silent pytest death in -q
+# captured mode. Overridable per run via ROBSEG_TEST_TIMEOUT_S; the
+# kernel-test subprocess children keep the tighter 1500 s (set below).
 import faulthandler  # noqa: E402
 
-_PER_TEST_TIMEOUT_S = 1500
+_PER_TEST_TIMEOUT_S = int(os.environ.get("ROBSEG_TEST_TIMEOUT_S", "3600"))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "timeout_s(n): per-test faulthandler watchdog override (seconds) — "
+        "for tests whose legitimate runtime is host-dependent (e.g. the f64"
+        " CPU compile in the SEA driver diff takes >1h on a 1-core box)")
 
 
 def pytest_runtest_setup(item):
-    faulthandler.dump_traceback_later(_PER_TEST_TIMEOUT_S, exit=True)
+    m = item.get_closest_marker("timeout_s")
+    limit = int(m.args[0]) if m else _PER_TEST_TIMEOUT_S
+    faulthandler.dump_traceback_later(limit, exit=True)
 
 
 def pytest_runtest_teardown(item):
@@ -84,7 +98,9 @@ def pytest_runtest_protocol(item, nextitem):
     hook = item.ihook
     hook.pytest_runtest_logstart(nodeid=item.nodeid, location=item.location)
     t0 = time.time()
-    env = {**_os.environ, "ROBSEG_ISOLATED_CHILD": "1"}
+    env = {**_os.environ, "ROBSEG_ISOLATED_CHILD": "1",
+           # children run single short kernel tests: keep the tight watchdog
+           "ROBSEG_TEST_TIMEOUT_S": "1500"}
     # the kernel tests use no mesh: run the child single-device. The
     # recurring in-suite wedge (round-2 futex hang; two round-3 in-suite
     # timeouts of a test that passes standalone in ~60 s) is suspected to

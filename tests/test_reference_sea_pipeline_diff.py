@@ -97,6 +97,11 @@ BS = 2
 
 
 class TestReferenceSEAPipelineDiff:
+    # The f64 CPU compile of the full UperNet _apgd_core (weights embedded
+    # as jit constants) is single-threaded in XLA's folding passes: >1h on
+    # a 1-core host (round-5), ~10 min on the round-4 box. The watchdog
+    # must not hard-exit the suite for a legitimately slow compile.
+    @pytest.mark.timeout_s(10800)
     def test_full_driver_protocol_matches(self, ref_infer, cpu_cuda, rng,
                                           tmp_path):
         import semseg
