@@ -27,6 +27,7 @@ Semantics notes (deliberate, verified against the reference):
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -100,6 +101,72 @@ def _apgd_ctrl(norm: str, n_iter: int):
     return {k: jnp.asarray(v, jnp.int32) for k, v in ctrl.items()}
 
 
+_CLOSURE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def closure_to_args(logits_fn: Callable, *example: Array):
+    """Hoist ``logits_fn``'s closed-over arrays into explicit jit arguments.
+
+    A model closure (``lambda x: module.apply(variables, x)``) embeds the
+    checkpoint as CONSTANTS in every jit that takes ``logits_fn`` static:
+    the compiled executable is checkpoint-specific (each new checkpoint
+    recompiles from scratch — the persistent XLA cache can never hit
+    because the weight bytes are part of the HLO), and XLA constant-folds
+    the folded weights' layout transposes at compile time — pathological
+    for the f64 CPU differential tests (>1h single-core, round-5).
+    ``jax.closure_convert`` re-expresses the closure as ``fn(x, *consts)``
+    with the weights as ordinary traced arguments: the HLO becomes
+    checkpoint-independent (byte-identical across checkpoints of the same
+    architecture, so the persistent compile cache hits) and nothing is
+    folded.
+
+    Returns ``(fn, consts)``. Falls back to ``(logits_fn, ())`` when the
+    hoisted consts are tracers (the caller sits inside another trace, e.g.
+    a ``shard_map``'d train step — caching would leak the tracers) or the
+    callable cannot be weak-referenced. Cached per
+    ``(logits_fn, input avals)`` so repeated per-batch calls reuse ONE
+    converted function object, keeping the downstream jit cache warm.
+    """
+    avals = tuple((tuple(a.shape), str(a.dtype)) for a in example)
+    try:
+        per_fn = _CLOSURE_CACHE.setdefault(logits_fn, {})
+    except TypeError:
+        per_fn = None
+    if per_fn is not None and avals in per_fn:
+        return per_fn[avals]
+    # NOTE: jax.closure_convert is NOT usable here — it only hoists consts
+    # that "may be perturbed" (tracers), deliberately leaving concrete
+    # arrays embedded (custom_vjp semantics). We want the opposite: every
+    # checkpoint-derived byte OUT of the HLO. So trace to a jaxpr and
+    # hoist every FLOAT const (all weight tensors, of any dtype/size —
+    # a single embedded LN scale would already make the HLO
+    # checkpoint-specific); int/bool consts (index maps, iotas) are
+    # checkpoint-independent and stay embedded, where XLA can fold them.
+    closed = jax.make_jaxpr(logits_fn)(*example)
+    consts = closed.consts
+    if any(isinstance(c, jax.core.Tracer) for c in consts):
+        return logits_fn, ()
+    is_hoisted = [hasattr(c, "dtype")
+                  and jnp.issubdtype(c.dtype, jnp.floating)
+                  for c in consts]
+    hoisted = [c for c, h in zip(consts, is_hoisted) if h]
+    embedded = [c for c, h in zip(consts, is_hoisted) if not h]
+    jaxpr = closed.jaxpr
+    n_ex = len(example)
+
+    def fn(*args):
+        ex, hoist = args[:n_ex], iter(args[n_ex:])
+        emb = iter(embedded)
+        full = [next(hoist) if h else next(emb) for h in is_hoisted]
+        out = jax.core.eval_jaxpr(jaxpr, full, *ex)
+        return out[0] if len(out) == 1 else tuple(out)
+
+    result = (fn, tuple(hoisted))
+    if per_fn is not None:
+        per_fn[avals] = result
+    return result
+
+
 def make_sharded_apgd(logits_fn: Callable, mesh, *, norm: str = "Linf",
                       loss: str, track_loss: Optional[str] = None,
                       early_stop: bool = False, ignore_index: int = -1,
@@ -121,11 +188,12 @@ def make_sharded_apgd(logits_fn: Callable, mesh, *, norm: str = "Linf",
     from jax.sharding import PartitionSpec as P
 
     dummy_rng = jax.random.PRNGKey(0)  # use_rs=False: never consumed
+    n_dev = mesh.shape[axis_name]
 
-    def per_dev(x, y, x_init, use_init, eps, ctrl):
+    def per_dev(x, y, x_init, use_init, eps, ctrl, fn_consts):
         return _apgd_core(
-            logits_fn, x, y, x_init, use_init, eps, ctrl, weights,
-            dummy_rng, None, norm=norm, use_rs=False, loss=loss,
+            per_dev.fn, x, y, x_init, use_init, eps, ctrl, weights,
+            dummy_rng, None, fn_consts, norm=norm, use_rs=False, loss=loss,
             track_loss=track_loss, early_stop=early_stop, is_train=False,
             ignore_index=ignore_index, n_iter_buf=int(n_iter_buf),
             axis_name=axis_name if early_stop else None)
@@ -133,15 +201,25 @@ def make_sharded_apgd(logits_fn: Callable, mesh, *, norm: str = "Linf",
     b = P(axis_name)
     sharded = jax.jit(shard_map(
         per_dev, mesh=mesh,
-        in_specs=(b, b, b, P(), P(), P()),
+        in_specs=(b, b, b, P(), P(), P(), P()),
         out_specs=APGDResult(b, b, b, b), check_vma=False))
 
     def phase(x, y, x_init, use_init: bool, eps: float, n_iter: int
               ) -> APGDResult:
         assert n_iter <= n_iter_buf
+        # hoist the checkpoint out of the per-device graph too (replicated
+        # traced args): the per-device program stays BYTE-identical to the
+        # single-chip _apgd_core executable, and the sharded compile gets
+        # the same checkpoint-independent persistent-cache behavior. The
+        # conversion example uses the PER-DEVICE shapes shard_map hands to
+        # per_dev.
+        per_shape = (x.shape[0] // n_dev,) + tuple(x.shape[1:])
+        fn, consts = closure_to_args(
+            logits_fn, jax.ShapeDtypeStruct(per_shape, x.dtype))
+        per_dev.fn = fn  # static: same object per (logits_fn, shape) cache
         return sharded(x, y, x_init, jnp.asarray(use_init),
                        jnp.asarray(eps, jnp.float32),
-                       _apgd_ctrl(norm, n_iter))
+                       _apgd_ctrl(norm, n_iter), tuple(consts))
 
     return phase
 
@@ -176,10 +254,14 @@ def apgd_attack(logits_fn: Callable, x: Array, y: Array, *,
     use_init = x_init is not None
     if x_init is None:
         x_init = x
+    # checkpoint-independent executable: weights ride as traced args, not
+    # HLO constants (see closure_to_args)
+    logits_fn, consts = closure_to_args(logits_fn, x)
     return _apgd_core(
         logits_fn, x, y, x_init, jnp.asarray(use_init),
         jnp.asarray(eps, jnp.float32), ctrl_arr,
         weights if weights is not None else None, rng, y_target,
+        tuple(consts),
         norm=norm, use_rs=use_rs, loss=loss,
         track_loss=track_loss, early_stop=early_stop, is_train=is_train,
         ignore_index=ignore_index, n_iter_buf=int(n_iter_buf),
@@ -192,11 +274,15 @@ def apgd_attack(logits_fn: Callable, x: Array, y: Array, *,
                      "early_stop", "is_train", "ignore_index", "n_iter_buf",
                      "axis_name"))
 def _apgd_core(logits_fn: Callable, x: Array, y: Array, x_init: Array,
-               use_init: Array, eps: Array, ctrl, weights, rng, y_target, *,
+               use_init: Array, eps: Array, ctrl, weights, rng, y_target,
+               consts=(), *,
                norm: str, use_rs: bool, loss: str,
                track_loss: Optional[str], early_stop: bool, is_train: bool,
                ignore_index: int, n_iter_buf: int,
                axis_name: Optional[str] = None) -> APGDResult:
+    if consts:  # closure_to_args form: fn(x, *weights)
+        _base_fn = logits_fn
+        logits_fn = lambda z: _base_fn(z, *consts)  # noqa: E731
     bs = x.shape[0]
     ndims = x.ndim - 1
     n_fts = int(x.size // bs)

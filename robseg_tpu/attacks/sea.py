@@ -160,7 +160,10 @@ def _make_attack_fn(logits_fn: Callable, mesh, *, eps: float, n_iter: int,
 
 @functools.partial(jax.jit, static_argnames=("logits_fn", "num_classes",
                                              "ignore_label"))
-def _eval_step(logits_fn, x, y, h, *, num_classes, ignore_label):
+def _eval_step(logits_fn, x, y, h, consts=(), *, num_classes, ignore_label):
+    if consts:  # closure_to_args form: fn(x, *weights)
+        _base_fn = logits_fn
+        logits_fn = lambda z: _base_fn(z, *consts)  # noqa: E731
     pred = jnp.argmax(logits_fn(x), axis=-1).astype(jnp.int32)
     pred = jnp.where(y == ignore_label, ignore_label, pred)
     h = h + confusion_matrix(pred, y, num_classes=num_classes,
@@ -179,9 +182,14 @@ def _make_eval_step_fn(logits_fn: Callable, mesh, *, num_classes: int,
     returned hist equals the unsharded one exactly.
     """
     if mesh is None:
-        return lambda x, y, h: _eval_step(logits_fn, x, y, h,
-                                          num_classes=num_classes,
-                                          ignore_label=ignore_label)
+        from robseg_tpu.attacks.apgd import closure_to_args
+
+        def step(x, y, h):
+            fn, consts = closure_to_args(logits_fn, x)  # cached per shape
+            return _eval_step(fn, x, y, h, tuple(consts),
+                              num_classes=num_classes,
+                              ignore_label=ignore_label)
+        return step
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
